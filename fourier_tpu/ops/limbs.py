@@ -1,0 +1,93 @@
+"""Host-side limb packing: Python ints / bytes <-> numpy uint32 limb arrays.
+
+Device representation: little-endian 16-bit limbs stored one per uint32
+lane, shape ``[..., L]`` (L=16 for Fr, L=24 for Fp).  16-bit limbs keep
+limb products exactly representable in 32-bit integer lanes (the widest
+integer multiply the TPU VPU supports), with headroom for carry-deferred
+column accumulation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import FP_LIMBS, FR_LIMBS, LIMB_BITS, LIMB_MASK
+
+
+def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
+    """List/iterable of ints -> [n, n_limbs] uint32 little-endian limbs."""
+    values = list(values)
+    out = np.empty((len(values), n_limbs), dtype=np.uint32)
+    for row, v in enumerate(values):
+        v = int(v)
+        for i in range(n_limbs):
+            out[row, i] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+    return out
+
+
+def int_to_limbs(v: int, n_limbs: int) -> np.ndarray:
+    return ints_to_limbs([v], n_limbs)[0]
+
+
+def limbs_to_ints(arr) -> list[int]:
+    """[..., L] limbs -> flat list of ints over the leading dims."""
+    a = np.asarray(arr)
+    flat = a.reshape(-1, a.shape[-1])
+    out = []
+    for row in flat:
+        v = 0
+        for i, limb in enumerate(row):
+            v |= int(limb) << (LIMB_BITS * i)
+        out.append(v)
+    return out
+
+
+def limbs_to_int(arr) -> int:
+    return limbs_to_ints(np.asarray(arr).reshape(1, -1))[0]
+
+
+def bytes_be_to_limbs(buf: bytes, nbytes: int, n_limbs: int) -> np.ndarray:
+    """Concatenated big-endian ``nbytes``-wide values -> [n, n_limbs] limbs.
+
+    Vectorized wire decode: 32-byte scalars (nbytes=32, 16 limbs) or
+    48-byte field elements (nbytes=48, 24 limbs).
+    """
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size % nbytes:
+        raise ValueError(f"buffer size {a.size} not a multiple of {nbytes}")
+    a = a.reshape(-1, nbytes)[:, ::-1]  # little-endian byte order
+    lo = a[:, 0::2].astype(np.uint32)
+    hi = a[:, 1::2].astype(np.uint32)
+    limbs = lo | (hi << 8)
+    if limbs.shape[1] > n_limbs:
+        raise ValueError("value wider than limb layout")
+    if limbs.shape[1] < n_limbs:
+        pad = np.zeros((limbs.shape[0], n_limbs - limbs.shape[1]), np.uint32)
+        limbs = np.concatenate([limbs, pad], axis=1)
+    return np.ascontiguousarray(limbs)
+
+
+def limbs_to_bytes_be(arr, nbytes: int) -> bytes:
+    """[n, L] limbs -> concatenated big-endian nbytes-wide encodings."""
+    a = np.asarray(arr, dtype=np.uint32).reshape(-1, np.asarray(arr).shape[-1])
+    n, L = a.shape
+    le = np.empty((n, 2 * L), dtype=np.uint8)
+    le[:, 0::2] = a & 0xFF
+    le[:, 1::2] = (a >> 8) & 0xFF
+    if 2 * L > nbytes:
+        if np.any(le[:, nbytes:]):
+            raise ValueError("value does not fit target width")
+        le = le[:, :nbytes]
+    be = le[:, ::-1]
+    if 2 * L < nbytes:
+        pad = np.zeros((n, nbytes - 2 * L), np.uint8)
+        be = np.concatenate([pad, be], axis=1)
+    return be.tobytes()
+
+
+def fr_ints_to_limbs(values) -> np.ndarray:
+    return ints_to_limbs(values, FR_LIMBS)
+
+
+def fp_ints_to_limbs(values) -> np.ndarray:
+    return ints_to_limbs(values, FP_LIMBS)

@@ -7,7 +7,9 @@ initializes, hence the env mutation at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX_PLATFORMS at real TPU
+# hardware (e.g. an axon tunnel), which would route every test op through it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import random
 
+import jax
 import pytest
+
+# Belt and braces: even if jax was imported before this conftest (e.g. by a
+# pytest plugin), force the platform choice at config level.
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture
