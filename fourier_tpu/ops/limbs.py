@@ -91,3 +91,25 @@ def fr_ints_to_limbs(values) -> np.ndarray:
 
 def fp_ints_to_limbs(values) -> np.ndarray:
     return ints_to_limbs(values, FP_LIMBS)
+
+
+# -- device-form helpers (limb axis leading) --------------------------------
+
+def ints_to_vec(values, n_limbs: int) -> np.ndarray:
+    """List of ints -> [L, n] uint32 (device layout: limb axis leading)."""
+    return np.ascontiguousarray(ints_to_limbs(values, n_limbs).T)
+
+
+def int_to_vec(v: int, n_limbs: int) -> np.ndarray:
+    """Single int -> [L, 1] uint32 (device layout, singleton batch)."""
+    return ints_to_vec([v], n_limbs)
+
+
+def vec_to_ints(arr) -> list[int]:
+    """[L, ...batch] device-layout limbs -> flat list of ints."""
+    a = np.asarray(arr)
+    return limbs_to_ints(a.reshape(a.shape[0], -1).T)
+
+
+def vec_to_int(arr) -> int:
+    return vec_to_ints(arr)[0]

@@ -1,0 +1,329 @@
+"""Multi-scalar multiplication (MSM) on TPU: vectorized Pippenger.
+
+TPU-native replacement for rust-kzg-blst's ``g1_linear_combination``
+(the hot kernel behind every commit/open in the reference,
+src/engine/piano.rs:150,167,228,259,287,327).  The CPU reference uses
+Pippenger with rayon threads and optional BGMW tables; a literal port
+would serialize on data-dependent bucket scatter, so the kernel is
+re-formulated for SIMD:
+
+1. **Digits**: c-bit windows extracted from canonical (non-Montgomery)
+   scalar limbs — pure vector bit ops, all windows at once.
+2. **Bucket accumulation**: per window, points are sorted by digit
+   (one XLA sort), so bucket b's points occupy a contiguous run; a
+   `while_loop` over the maximum bucket load performs one *batched*
+   mixed-add per row across all 2^c buckets simultaneously (invalid
+   lanes masked as affine infinity).  Work ~= n + slack per window,
+   all in wide vector ops.
+3. **Bucket reduction**: the weighted sum  sum_b b*B_b  is computed with
+   a sqrt-decomposition — suffix scans batched across bucket groups —
+   instead of the CPU-style serial running sum (~2*sqrt(#buckets)
+   batched adds rather than #buckets serial adds).
+4. **Window combine**: a scan over windows with c doublings per step.
+
+Windows are processed under `lax.scan` so the traced graph stays small.
+Scalars are plain canonical integers (digit decomposition needs the
+standard representation, not Montgomery).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import FP_LIMBS, FR_LIMBS, LIMB_BITS
+from . import curve as cv
+from .curve import G1Aff, G1Jac
+from .field import FP
+
+
+def _all_window_digits(scalars, c: int, n_windows: int):
+    """[FR_LIMBS, n] canonical limbs -> [n_windows, n] int32 c-bit digits."""
+    out = []
+    for w in range(n_windows):
+        lo = w * c
+        limb = lo // LIMB_BITS
+        off = lo % LIMB_BITS
+        d = scalars[limb] >> off
+        if off + c > LIMB_BITS and limb + 1 < scalars.shape[0]:
+            d = d | (scalars[limb + 1] << (LIMB_BITS - off))
+        out.append((d & ((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(out)
+
+
+def _bucket_accumulate(points: G1Aff, digits, n_buckets: int) -> G1Jac:
+    """Sum points into their digit buckets; returns [L, n_buckets] Jacobians."""
+    n = digits.shape[0]
+    order = jnp.argsort(digits)
+    sorted_digits = digits[order]
+    del sorted_digits  # runs are implied by counts/starts
+    sx = jnp.take(points.x, order, axis=-1)
+    sy = jnp.take(points.y, order, axis=-1)
+    sinf = points.inf[order]
+
+    counts = jnp.zeros((n_buckets,), jnp.int32).at[digits].add(1, mode="drop")
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    max_count = jnp.max(counts)
+
+    def cond(state):
+        r, _ = state
+        return r < max_count
+
+    def body(state):
+        r, acc = state
+        idx = jnp.clip(starts + r, 0, n - 1)
+        valid = r < counts
+        q = G1Aff(
+            jnp.take(sx, idx, axis=-1),
+            jnp.take(sy, idx, axis=-1),
+            sinf[idx] | ~valid,
+        )
+        return r + 1, cv.madd(acc, q)
+
+    _, acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cv.jac_identity((n_buckets,)))
+    )
+    return acc
+
+
+def _stack_jac(p: G1Jac):
+    """[L, k] point batch -> scan sequence of k single points ([k, L])."""
+    return (
+        jnp.moveaxis(p.x, -1, 0),
+        jnp.moveaxis(p.y, -1, 0),
+        jnp.moveaxis(p.z, -1, 0),
+    )
+
+
+def _weighted_suffix_sum(p: G1Jac, length: int) -> tuple[G1Jac, G1Jac]:
+    """Given points P_0..P_{length-1} along the minor axis (with arbitrary
+    batch dims in between), return (A, C) where A = sum_j P_j and
+    C = sum_j j * P_j, using suffix scans: length-1 steps of 2 batched adds.
+    """
+    # sequence k = length-1 .. 1
+    seq = G1Jac(p.x[..., :0:-1], p.y[..., :0:-1], p.z[..., :0:-1])
+    xs = _stack_jac(seq)
+    batch = p.x.shape[1:-1]
+    init = (cv.jac_identity(batch), cv.jac_identity(batch))
+
+    def step(carry, pk):
+        t, cw = carry
+        t = cv.add(t, G1Jac(*pk))
+        cw = cv.add(cw, t)
+        return (t, cw), None
+
+    (t, cw), _ = jax.lax.scan(step, init, xs)
+    a = cv.add(t, G1Jac(p.x[..., 0], p.y[..., 0], p.z[..., 0]))
+    return a, cw
+
+
+def _weighted_bucket_sum(buckets: G1Jac, n_buckets: int) -> G1Jac:
+    """sum_b b * buckets[b] via sqrt-decomposition: b = g*s + j gives
+    total = s * sum_g g*A_g + sum_g C_g with batched inner scans."""
+    s = 1 << (max(n_buckets.bit_length() - 1, 0) // 2)
+    s = max(min(s, n_buckets), 1)
+    g = n_buckets // s
+
+    grouped = G1Jac(
+        buckets.x.reshape(FP_LIMBS, g, s),
+        buckets.y.reshape(FP_LIMBS, g, s),
+        buckets.z.reshape(FP_LIMBS, g, s),
+    )
+    a, cw = _weighted_suffix_sum(grouped, s)  # per-group: A_g, C_g  [L, g]
+    _, w2 = _weighted_suffix_sum(a, g)        # sum_g g*A_g  [L]
+    for _ in range(s.bit_length() - 1):       # multiply by s (power of two)
+        w2 = cv.dbl(w2)
+    cg = cv.tree_sum(cw)
+    cg = G1Jac(cg.x[..., 0], cg.y[..., 0], cg.z[..., 0])
+    return cv.add(w2, cg)
+
+
+def _auto_window(n: int) -> int:
+    """Window size balancing row count vs bucket-reduction cost."""
+    return max(4, min(13, n.bit_length() - 8))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def msm(points: G1Aff, scalars, c: int = 0) -> G1Jac:
+    """Pippenger MSM: sum_i scalars[i] * points[i].
+
+    points: G1Aff batch [L, n]; scalars: uint32[FR_LIMBS, n] canonical.
+    Returns a single Jacobian point (batch shape ()).
+    """
+    n = points.x.shape[-1]
+    if c == 0:
+        c = _auto_window(n)
+    n_buckets = 1 << c
+    n_windows = -(-256 // c)
+
+    digits_all = _all_window_digits(scalars, c, n_windows)  # [W, n]
+
+    def per_window(_, digits):
+        buckets = _bucket_accumulate(points, digits, n_buckets)
+        wsum = _weighted_bucket_sum(buckets, n_buckets)
+        return None, (wsum.x, wsum.y, wsum.z)
+
+    _, (wx, wy, wz) = jax.lax.scan(per_window, None, digits_all)  # [W, L]
+
+    # combine windows from the top down: c doublings then add
+    def step(acc, wpt):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl(a), acc)
+        return cv.add(acc, G1Jac(*wpt)), None
+
+    acc, _ = jax.lax.scan(
+        step, cv.jac_identity(()), (wx[::-1], wy[::-1], wz[::-1])
+    )
+    return acc
+
+
+@jax.jit
+def msm_naive(points: G1Aff, scalars) -> G1Jac:
+    """Reference-shaped fallback for tiny n: batched double-and-add over all
+    256 scalar bits, then a tree reduction.  O(256) batched point ops.
+
+    Mirrors the semantics checked by manual_commit_test (reference
+    src/engine/piano.rs:1415-1459)."""
+    n = points.x.shape[-1]
+    base = cv.from_affine(points)
+    acc = cv.jac_identity((n,))
+
+    def body(i, state):
+        acc, base = state
+        limb = i // LIMB_BITS
+        off = i % LIMB_BITS
+        bit = ((scalars[limb] >> off) & 1).astype(bool)
+        added = cv.add(acc, base)
+        acc = G1Jac(
+            FP.select(bit, added.x, acc.x),
+            FP.select(bit, added.y, acc.y),
+            FP.select(bit, added.z, acc.z),
+        )
+        return acc, cv.dbl(base)
+
+    acc, _ = jax.lax.fori_loop(0, FR_LIMBS * LIMB_BITS, body, (acc, base))
+    # pad to a power of two for the tree reduction
+    pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    if pow2 != n:
+        pad = cv.jac_identity((pow2 - n,))
+        acc = G1Jac(
+            jnp.concatenate([acc.x, pad.x], axis=-1),
+            jnp.concatenate([acc.y, pad.y], axis=-1),
+            jnp.concatenate([acc.z, pad.z], axis=-1),
+        )
+    out = cv.tree_sum(acc)
+    return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base MSM (trusted-setup generation): one base, many scalars
+# ---------------------------------------------------------------------------
+
+_FB_TABLES: dict[tuple, G1Aff] = {}
+
+
+def fixed_base_table(base_point, c: int = 8) -> G1Aff:
+    """Affine table T[w*2^c + d] = (d << (c*w)) * base, built host-side once.
+
+    The analog of the reference's BGMW precomputation tables
+    (kzg::msm::precompute, reference src/engine/piano.rs:469-515): windowed
+    multiples of a fixed base traded for doublings at commit time.
+    """
+    from ..refimpl.curve import g1_add, g1_mul
+
+    key = (base_point, c)
+    if key in _FB_TABLES:
+        return _FB_TABLES[key]
+    n_windows = -(-256 // c)
+    rows = []
+    for w in range(n_windows):
+        step = g1_mul(base_point, 1 << (c * w))
+        entry = None
+        for _ in range(1 << c):
+            rows.append(entry)
+            entry = g1_add(entry, step)
+    table = cv.affine_from_ints(rows)
+    _FB_TABLES[key] = table
+    return table
+
+
+def fixed_base_msm(base_point, scalars, c: int = 8) -> G1Jac:
+    """[d_i * base for each scalar d_i] — returns a Jacobian *batch* [L, n].
+
+    Used for trusted-setup power generation (g^{tau^j}, the U matrix), where
+    the reference does per-element blst scalar muls under rayon
+    (reference src/engine/piano.rs:916-1007).
+    """
+    table = fixed_base_table(base_point, c)
+    return _fixed_base_apply(table, scalars, c)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _fixed_base_apply(table: G1Aff, scalars, c: int) -> G1Jac:
+    n = scalars.shape[-1]
+    n_windows = -(-256 // c)
+    digits_all = _all_window_digits(scalars, c, n_windows)  # [W, n]
+    offsets = (np.arange(n_windows, dtype=np.int32) * (1 << c))[:, None]
+    idx_all = digits_all + offsets
+
+    def step(acc, idx):
+        q = G1Aff(
+            jnp.take(table.x, idx, axis=-1),
+            jnp.take(table.y, idx, axis=-1),
+            table.inf[idx],
+        )
+        return cv.madd(acc, q), None
+
+    acc, _ = jax.lax.scan(step, cv.jac_identity((n,)), idx_all)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# BGMW-expanded tables for *arbitrary-scalar* MSM over fixed bases
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def bgmw_expand(points: G1Aff, c: int) -> G1Aff:
+    """Expand fixed bases into the BGMW window table
+    T[w*n + j] = (2^{c*w}) * P_j  (device, batched doublings).
+
+    This is the TPU analog of the reference's PrecomputationTable generation
+    (kzg::msm::precompute behind reference src/engine/piano.rs:477-504):
+    space traded so the per-commit MSM needs a single bucket-accumulation
+    pass with no inter-window doublings.
+    """
+    n_windows = -(-256 // c)
+    jac = cv.from_affine(points)
+
+    def step(p, _):
+        row = p
+        p = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl(a), p)
+        return p, (row.x, row.y, row.z)
+
+    _, (rx, ry, rz) = jax.lax.scan(step, jac, None, length=n_windows)
+    # [W, L, n] -> [L, W*n]
+    W = n_windows
+    L = rx.shape[1]
+    n = rx.shape[-1]
+    stacked = G1Jac(
+        jnp.moveaxis(rx, 0, 1).reshape(L, W * n),
+        jnp.moveaxis(ry, 0, 1).reshape(L, W * n),
+        jnp.moveaxis(rz, 0, 1).reshape(L, W * n),
+    )
+    return cv.to_affine(stacked)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def msm_bgmw(table: G1Aff, scalars, c: int) -> G1Jac:
+    """MSM using a bgmw_expand table: one bucket accumulation over all
+    W*n (window, point) pairs, one bucket reduction, zero doublings."""
+    n_buckets = 1 << c
+    n = scalars.shape[-1]
+    n_windows = table.x.shape[-1] // n
+    digits = _all_window_digits(scalars, c, n_windows).reshape(-1)  # [W*n]
+    buckets = _bucket_accumulate(table, digits, n_buckets)
+    return _weighted_bucket_sum(buckets, n_buckets)

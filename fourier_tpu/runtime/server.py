@@ -1,0 +1,247 @@
+"""HTTP JSON-RPC server exposing the 11-method wire protocol.
+
+Role-parity with the reference server (reference src/rpc.rs:403-521):
+- any HTTP method is accepted (the reference ignores the verb — its tests
+  use GET, the Python client POSTs; reference src/rpc.rs:632, fourier.py:276);
+- responses are bare RpcResult JSON, errors are {"message": ...};
+- one backend instance is shared across connections (Arc<PianoBackend>
+  analog); the restart-forever loop of start_rpc_server
+  (reference src/rpc.rs:514-521) is preserved.
+
+Concurrency: a threading HTTP server front-end; the heavy math runs as
+batched device computations, so request handling is dominated by compute
+dispatch rather than IO.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..constants import FR_LIMBS
+from ..models.piano import PianoBackend, SetupConfig
+from ..ops import serialize as pser
+from ..ops.limbs import bytes_be_to_limbs, limbs_to_bytes_be
+from ..refimpl import curve as rc
+from ..refimpl.field import fr_from_bytes, fr_to_bytes
+from . import wire
+
+logger = logging.getLogger("fourier_tpu")
+
+
+@dataclass
+class ServerConfig:
+    host: str = "localhost"
+    port: int = 1337
+    backend: SetupConfig = field(default_factory=SetupConfig)
+
+
+def _parse_fr(s: str) -> int:
+    return fr_from_bytes(wire.b64_decode(s))
+
+
+def _parse_g1(s: str) -> object:
+    return rc.g1_from_bytes(wire.b64_decode(s))
+
+
+def _enc_fr(v: int) -> str:
+    return wire.b64_encode(fr_to_bytes(v))
+
+
+def _enc_g1(pt) -> str:
+    return wire.b64_encode(rc.g1_to_bytes(pt))
+
+
+def _parse_poly_limbs(strs: list[str]) -> np.ndarray:
+    """Vectorized wire decode: base64 strings -> [FR_LIMBS, n] canonical limbs.
+
+    Validates canonicality (FsFr::from_bytes semantics) on the whole batch.
+    """
+    raw = b"".join(wire.b64_decode(s) for s in strs)
+    if len(raw) != 32 * len(strs):
+        raise ValueError("scalar encoding must be 32 bytes")
+    limbs = bytes_be_to_limbs(raw, 32, FR_LIMBS)  # [n, L]
+    from ..constants import R
+    from ..ops.limbs import int_to_limbs
+
+    if pser._np_geq(limbs, int_to_limbs(R, FR_LIMBS).astype(np.int64)).any():
+        raise ValueError("scalar is not canonical (>= r)")
+    return np.ascontiguousarray(limbs.T)
+
+
+class RpcHandler:
+    """Method dispatch (reference RpcHandler, src/rpc.rs:176-401)."""
+
+    def __init__(self, backend: PianoBackend):
+        self.backend = backend
+        self._lock = threading.Lock()
+
+    def handle(self, method: str, params: dict) -> dict:
+        fn = getattr(self, "_handle_" + method)
+        with self._lock:  # device work serialized, mirroring one-chip reality
+            return fn(params)
+
+    # -- utils -------------------------------------------------------------
+
+    def _handle_ping(self, params):
+        # RpcResult::Pong is a unit variant of an untagged serde enum: it
+        # serializes as JSON null (reference src/rpc.rs:98-127, 202-204).
+        return None
+
+    def _handle_randomPoly(self, params):
+        poly = self.backend.random_bivariate_polynomial()
+        return {"poly": [[_enc_fr(v) for v in row] for row in poly]}
+
+    def _handle_randomPoint(self, params):
+        return {"point": _enc_fr(self.backend.random_point())}
+
+    def _handle_evaluate(self, params):
+        coeffs = [_parse_fr(s) for s in params["poly"]]
+        x = _parse_fr(params["x"])
+        return {"y": _enc_fr(self.backend.evaluate(coeffs, x))}
+
+    def _handle_fft(self, params):
+        limbs = _parse_poly_limbs(params["poly"])
+        from ..ops.limbs import vec_to_ints
+
+        values = vec_to_ints(limbs)
+        out = self.backend.fft.fft(values, params["left"], params["inverse"])
+        return {"poly": [_enc_fr(v) for v in out]}
+
+    # -- worker ------------------------------------------------------------
+
+    def _handle_workerCommit(self, params):
+        limbs = _parse_poly_limbs(params["poly"])
+        self._check_len(limbs)
+        commitment = self.backend.worker_commit(int(params["i"]), self._pad(limbs))
+        return {"commitment": _enc_g1(commitment)}
+
+    def _handle_workerOpen(self, params):
+        limbs = _parse_poly_limbs(params["poly"])
+        self._check_len(limbs)
+        x = _parse_fr(params["x"])
+        y, proof = self.backend.worker_open(int(params["i"]), self._pad(limbs), x)
+        return {"proof": _enc_g1(proof), "eval": _enc_fr(y)}
+
+    def _handle_workerVerify(self, params):
+        valid = self.backend.worker_verify(
+            int(params["i"]),
+            _parse_g1(params["commitment"]),
+            _parse_fr(params["alpha"]),
+            _parse_fr(params["eval"]),
+            _parse_g1(params["proof"]),
+        )
+        return {"valid": bool(valid)}
+
+    # -- master ------------------------------------------------------------
+
+    def _handle_masterCommit(self, params):
+        commitments = [_parse_g1(s) for s in params["commitments"]]
+        return {"commitment": _enc_g1(self.backend.master_commit(commitments))}
+
+    def _handle_masterOpen(self, params):
+        evals = [_parse_fr(s) for s in params["evals"]]
+        proofs = [_parse_g1(s) for s in params["proofs"]]
+        beta = _parse_fr(params["beta"])
+        z, (pi0, pi1) = self.backend.master_open(evals, proofs, beta)
+        return {"z": _enc_fr(z), "pi_0": _enc_g1(pi0), "pi_1": _enc_g1(pi1)}
+
+    def _handle_masterVerify(self, params):
+        valid = self.backend.master_verify(
+            _parse_g1(params["commitment"]),
+            _parse_fr(params["beta"]),
+            _parse_fr(params["alpha"]),
+            _parse_fr(params["z"]),
+            (_parse_g1(params["pi_0"]), _parse_g1(params["pi_1"])),
+        )
+        return {"valid": bool(valid)}
+
+    # -- helpers -----------------------------------------------------------
+
+    def _check_len(self, limbs: np.ndarray):
+        if limbs.shape[-1] > self.backend.fft.T:
+            raise ValueError("polynomial larger than sub-circuit size")
+
+    def _pad(self, limbs: np.ndarray) -> np.ndarray:
+        t = self.backend.fft.T
+        if limbs.shape[-1] == t:
+            return limbs
+        pad = np.zeros((limbs.shape[0], t - limbs.shape[-1]), np.uint32)
+        return np.concatenate([limbs, pad], axis=-1)
+
+
+class _HTTPHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    rpc: RpcHandler = None  # type: ignore[assignment]
+
+    def _serve(self):
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            logger.info("Received request")
+            try:
+                method, params = wire.parse_request(body)
+                result = self.rpc.handle(method, params)
+                payload = b"null" if result is None else wire.serialize_result(result)
+                logger.debug("Sending back response %s", method)
+            except Exception as e:  # error -> {"message": ...}, HTTP 200
+                logger.error("Error: %s", e)
+                payload = wire.serialize_result({"message": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        except Exception as e:
+            logger.error("Connection error: %s", e)
+
+    do_GET = _serve
+    do_POST = _serve
+
+    def log_message(self, fmt, *args):  # route through our logger
+        logger.debug("http: " + fmt, *args)
+
+
+class Server:
+    """Owns the backend and the listening socket (reference Server,
+    src/rpc.rs:470-512)."""
+
+    def __init__(self, cfg: ServerConfig):
+        self.cfg = cfg
+        self.httpd: ThreadingHTTPServer | None = None
+
+    def _new_handler(self) -> RpcHandler:
+        from ..utils.timing import timed
+
+        backend = timed("start handler", lambda: PianoBackend.setup(self.cfg.backend))
+        return RpcHandler(backend)
+
+    def run(self) -> None:
+        logger.info("Starting RPC server...")
+        handler_cls = type("BoundHandler", (_HTTPHandler,), {})
+        addr = (self.cfg.host, self.cfg.port)
+        self.httpd = ThreadingHTTPServer(addr, handler_cls)
+        logger.info("Listening on: %s:%s", *addr)
+        handler_cls.rpc = self._new_handler()
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        if self.httpd:
+            self.httpd.shutdown()
+
+
+def start_rpc_server(cfg: ServerConfig) -> None:
+    """Retry-forever loop (reference start_rpc_server, src/rpc.rs:514-521)."""
+    server = Server(cfg)
+    while True:
+        try:
+            server.run()
+            return
+        except Exception as e:
+            logger.error("Error: %s", e)
+            logger.info("Error starting server, retrying in 2 seconds...")
+            time.sleep(2)

@@ -25,6 +25,12 @@ import pytest
 # pytest plugin), force the platform choice at config level.
 jax.config.update("jax_platforms", "cpu")
 
+# The limb-arithmetic kernels trace to large HLO graphs; persistent
+# compilation caching makes repeated test runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng():
