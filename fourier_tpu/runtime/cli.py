@@ -150,6 +150,21 @@ def main(argv=None) -> int:
         level=level,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    # Persistent XLA compilation cache: server restarts and repeated CLI
+    # invocations skip recompiling the limb kernels.
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "FOURIER_XLA_CACHE", os.path.expanduser("~/.cache/fourier_tpu_xla")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never fatal
+        pass
     args = build_parser().parse_args(argv)
     if args.command == "run":
         return cmd_run(args)
