@@ -56,17 +56,22 @@ def main() -> None:
         raw[-1] &= 0x7FFF  # < 2^255 < r guarantee not needed; keep < r loosely
         return jnp.asarray(raw)
 
+    def sync(x):
+        # On tunneled platforms block_until_ready can report at enqueue;
+        # a host readback is the only reliable completion barrier.
+        return np.asarray(x)
+
     sc_warm = rand_scalars()
     out = msm_mod.msm(points, sc_warm)
-    jax.block_until_ready(out)  # compile
+    sync(out.x)  # compile + run
 
     times = []
     for _ in range(iters):
         sc = rand_scalars()
-        jax.block_until_ready(sc)
+        sync(sc[:1, :1])
         t0 = time.perf_counter()
         out = msm_mod.msm(points, sc)
-        jax.block_until_ready(out)
+        sync(out.x)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -1,21 +1,30 @@
 """Batched prime-field arithmetic in JAX: 16-bit limbs, Montgomery form.
 
 Replaces the reference's blst Fr/Fp CPU arithmetic (FsFr/FsFp, used
-throughout reference src/engine/piano.rs) with a TPU-native design:
+throughout reference src/engine/piano.rs) with a TPU-native design.
+CPU bignum code is word-serial (carry chains, CIOS loops); a literal
+port would turn every field op into hundreds of microscopic sequential
+steps and die of loop overhead on the VPU.  Everything here is therefore
+reformulated as a short pipeline of *wide* vector ops:
 
-- Elements are ``uint32[L, ...]`` arrays of little-endian 16-bit limbs
-  (L=16 for Fr, L=24 for Fp), **limb axis leading**: the minor-most axes
-  are batch, so elementwise kernels fill the 8x128 VPU lanes with the
-  batch dimension instead of padding a 16/24-wide limb axis to 128 lanes.
-- Limb products are exact in 32-bit lanes; multiplication is schoolbook
-  column accumulation with deferred carries (column sums stay < 2^23),
-  followed by word-serial Montgomery reduction (CIOS-style: L short
-  steps, each a full-width vector op over the batch).
-- Carry/borrow resolution is an exact ``lax.scan`` over the leading limb
-  axis; everything is branchless and batched over arbitrary trailing dims.
+- Elements are ``uint32[L, ...]`` little-endian 16-bit limbs (L=16 for
+  Fr, L=24 for Fp), **limb axis leading**: the minor axes are batch, so
+  kernels fill the 8x128 VPU lanes with the batch dimension.
+- Limb products are exact in 32-bit lanes (16x16 -> 32).  Products are
+  accumulated as *deferred-carry column sums* (columns stay < 2^22, no
+  per-limb carries during accumulation).
+- **Montgomery reduction by full multiplication**: instead of the
+  word-serial CIOS loop,  m = (t mod R) * N' mod R  and
+  u = (t + m*N) / R  are computed with two more full limb-product
+  passes —三 passes of independent multiply-adds, zero sequential steps.
+- **Carry resolution is exact and log-depth**: two value-bounded ripple
+  passes reduce limbs to <= 2^16, then a Kogge-Stone carry-lookahead
+  (generate/propagate prefix, log2 L steps) finishes exactly.
+- Subtraction is two's-complement (a + ~b + N + 1 with the overflow
+  limb dropped), so there are no signed borrow chains at all.
 
-All methods are traceable/jittable; the `Field` instance only holds
-numpy constants which embed as XLA constants.
+All methods are traceable/jittable; `Field` instances only hold numpy
+constants which embed as XLA constants.
 """
 
 from __future__ import annotations
@@ -47,85 +56,100 @@ class Field:
     unless stated otherwise.
     """
 
-    def __init__(self, modulus: int, n_limbs: int, unroll: bool | None = None):
+    def __init__(self, modulus: int, n_limbs: int):
         self.modulus = modulus
         self.L = n_limbs
-        radix = 1 << LIMB_BITS
-        self.mont_r = (1 << (LIMB_BITS * n_limbs)) % modulus
+        radix_bits = LIMB_BITS * n_limbs
+        self.mont_r = (1 << radix_bits) % modulus
         self.mont_r2 = (self.mont_r * self.mont_r) % modulus
-        self.n0inv = np.uint32((-pow(modulus, -1, radix)) % radix)
+        # N' = -N^{-1} mod 2^(16L), full width (for reduction-by-multiplication)
+        self.nprime_limbs = int_to_limbs(
+            (-pow(modulus, -1, 1 << radix_bits)) % (1 << radix_bits), n_limbs
+        )
         self.mod_limbs = int_to_limbs(modulus, n_limbs)        # [L]
+        self.compl_mod = (_MASK - self.mod_limbs).astype(np.uint32)  # ~N per limb
         self.r2_limbs = int_to_limbs(self.mont_r2, n_limbs)    # [L]
         self.one_mont = int_to_limbs(self.mont_r, n_limbs)     # [L]
-        # Unrolled limb loops give XLA maximal fusion freedom but trace to
-        # ~10x larger HLO (slow compiles); rolled fori_loops keep graphs
-        # small.  Default rolled; flip with FOURIER_UNROLL=1 to measure.
-        if unroll is None:
-            unroll = os.environ.get("FOURIER_UNROLL", "0") == "1"
-        self.unroll = unroll
 
     # -- helpers -----------------------------------------------------------
 
     def _bshape(self, c: np.ndarray, ndim: int):
-        """Reshape a [L] constant for broadcasting against [L, ...batch]."""
+        """Reshape a [L]-like constant to broadcast against [L, ...batch]."""
         return c.reshape((c.shape[0],) + (1,) * (ndim - 1))
 
-    def _pad_limb(self, x, offset: int, width: int):
-        """Place x's leading axis at [offset, offset+len) of a width-wide axis."""
-        cfg = [(offset, width - offset - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, cfg)
+    @staticmethod
+    def _shift_up(x, d: int):
+        """Shift limbs towards higher indices by d (drop overflow)."""
+        if d == 0:
+            return x
+        cfg = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg)[: x.shape[0]]
 
     def _carry(self, x):
-        """Resolve carries: any-magnitude limbs (|.| < 2^31) -> canonical 16-bit.
+        """Exact carry resolution for uint32 limbs with values < 2^26.
 
-        Works for uint32 and int32 (borrows propagate via arithmetic shift).
-        The caller guarantees the total value fits in the limb count.
+        Two bounded ripple passes bring every limb to <= 2^16, then a
+        Kogge-Stone generate/propagate prefix finishes in log2(L) steps.
+        Carry out of the top limb is dropped (callers guarantee fit or
+        rely on the 2^(16L) wrap).
         """
-        zero = jnp.zeros(x.shape[1:], x.dtype)
+        for _ in range(2):
+            c = x >> LIMB_BITS
+            x = (x & _MASK) + self._shift_up(c, 1)
+        # limbs now <= 0x10000: single-bit carries
+        g = (x >> LIMB_BITS).astype(jnp.uint32)        # generate (0/1)
+        p = ((x & _MASK) == _MASK)                      # propagate
+        r = x & _MASK
+        # carry INTO position i: chain over positions < i
+        G = self._shift_up(g, 1)
+        Pp = self._shift_up(p, 1)
+        d = 1
+        while d < x.shape[0]:
+            G = G | (Pp & self._shift_up(G, d))
+            Pp = Pp & self._shift_up(Pp, d)
+            d *= 2
+        return (r + G) & _MASK
 
-        def step(c, xi):
-            s = xi + c
-            return s >> LIMB_BITS, s & x.dtype.type(LIMB_MASK)
+    def _carry_with_overflow(self, x):
+        """Like _carry but returns (limbs, overflow_bit) where overflow is
+        the carry out of the top limb (x gets an extra scratch limb)."""
+        pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+        wide = jnp.concatenate([x, pad], axis=0)
+        out = self._carry(wide)
+        return out[:-1], out[-1] > 0
 
-        _, limbs = jax.lax.scan(step, zero, x)
-        return limbs
-
-    def _geq_mod(self, a):
-        """a >= modulus, lexicographic from the most significant limb."""
-        diff = a.astype(jnp.int32) - self._bshape(
-            self.mod_limbs.astype(np.int32), a.ndim
-        )
-        rev = diff[::-1]
-        nz = rev != 0
-        idx = jnp.argmax(nz, axis=0)
-        top = jnp.take_along_axis(rev, idx[None], axis=0)[0]
-        return jnp.where(jnp.any(nz, axis=0), top > 0, True)
+    def _sub_mod_raw(self, a):
+        """(a - N) mod 2^(16L) and the a >= N flag, via two's complement."""
+        compl = self._bshape(self.compl_mod, a.ndim)
+        one0 = np.zeros(self.L, np.uint32)
+        one0[0] = 1
+        t = a + compl + self._bshape(one0, a.ndim)
+        limbs, ge = self._carry_with_overflow(t)
+        return limbs, ge
 
     def _cond_sub_mod(self, a):
         """Subtract the modulus where a >= modulus (requires a < 2*modulus)."""
-        mask = self._geq_mod(a)
-        diff = a.astype(jnp.int32) - self._bshape(
-            self.mod_limbs.astype(np.int32), a.ndim
-        )
-        norm = self._carry(diff).astype(jnp.uint32)
-        return jnp.where(mask[None], norm, a)
+        sub, ge = self._sub_mod_raw(a)
+        return jnp.where(ge[None], sub, a)
 
     # -- basic ops ---------------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
     def add(self, a, b):
-        s = self._carry((a + b).astype(jnp.uint32))
+        s = self._carry(a + b)  # a+b < 2N < 2^(16L): no top overflow
         return self._cond_sub_mod(s)
 
     @partial(jax.jit, static_argnums=0)
     def sub(self, a, b):
-        t = (
-            a.astype(jnp.int32)
-            - b.astype(jnp.int32)
-            + self._bshape(self.mod_limbs.astype(np.int32), a.ndim)
+        # a - b + N  ==  a + ~b + N + 1  (mod 2^(16L)), all limbs unsigned
+        consts = self._bshape(
+            (self.mod_limbs + np.concatenate([[1], np.zeros(self.L - 1, np.uint32)]))
+            .astype(np.uint32),
+            a.ndim,
         )
-        norm = self._carry(t).astype(jnp.uint32)
-        return self._cond_sub_mod(norm)
+        t = a + (self._bshape(np.broadcast_to(_MASK, (self.L,)).astype(np.uint32), b.ndim) - b) + consts
+        s = self._carry(t)  # value a-b+N in [1, 2N) after wrap
+        return self._cond_sub_mod(s)
 
     @partial(jax.jit, static_argnums=0)
     def neg(self, a):
@@ -146,66 +170,63 @@ class Field:
         return jnp.broadcast_to(
             self._bshape(value_limbs, 1 + len(batch_shape)),
             (self.L,) + tuple(batch_shape),
-        )
+        ).astype(jnp.uint32)
 
     # -- multiplication ----------------------------------------------------
 
-    def _contrib(self, p):
-        """Limb products p [L, ...] -> [L+1, ...] column contribution
-        (lo parts at offset 0, hi parts shifted up one limb)."""
-        lo = p & _MASK
-        hi = p >> LIMB_BITS
-        pad = jnp.zeros((1,) + p.shape[1:], jnp.uint32)
-        return jnp.concatenate([lo, pad], axis=0).at[1:].add(hi)
+    def _acc_products(self, a, b, width: int, truncate: bool):
+        """Deferred-carry column accumulation of a*b.
 
-    def _mul_wide(self, a, b):
-        """Exact 2L-limb product with deferred carries (columns < 2^22)."""
+        a, b: [L, ...] canonical limbs.  Returns [width, ...] column sums
+        (each < 2L * 2^16 < 2^22).  With truncate=True only columns
+        < width are formed (low product).  Fully unrolled: ~4L wide vector
+        ops with no loop-carried sequential dependency chains beyond the
+        accumulation adds, which XLA fuses and trees.
+        """
         L = self.L
-        a, b = jnp.broadcast_arrays(a, b)
-        acc = jnp.zeros((2 * L,) + a.shape[1:], jnp.uint32)
-        if self.unroll:
-            for i in range(L):
-                p = a[i : i + 1] * b  # exact: (2^16-1)^2 < 2^32
-                acc = acc + self._pad_limb(self._contrib(p), i, 2 * L)
-            return acc
-
-        def body(i, acc):
-            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)
-            seg = jax.lax.dynamic_slice_in_dim(acc, i, L + 1, axis=0)
-            seg = seg + self._contrib(ai * b)
-            return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0)
-
-        return jax.lax.fori_loop(0, L, body, acc, unroll=False)
-
-    def _mont_reduce(self, acc):
-        """Word-serial Montgomery reduction of a 2L-limb deferred-carry
-        accumulator; returns L limbs (< 2^23 each), value < 2*modulus."""
-        L = self.L
-        mod = self._bshape(self.mod_limbs, acc.ndim)
-        if self.unroll:
-            for i in range(L):
-                m = ((acc[i : i + 1] & _MASK) * self.n0inv) & _MASK
-                acc = acc + self._pad_limb(self._contrib(m * mod), i, 2 * L)
-                carry = acc[i : i + 1] >> LIMB_BITS
-                acc = acc + self._pad_limb(carry, i + 1, 2 * L)
-            return acc[L:]
-
-        def body(i, acc):
-            seg = jax.lax.dynamic_slice_in_dim(acc, i, L + 1, axis=0)
-            m = ((seg[:1] & _MASK) * self.n0inv) & _MASK
-            seg = seg + self._contrib(m * mod)
-            carry = seg[:1] >> LIMB_BITS
-            seg = seg.at[1:2].add(carry)
-            return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0)
-
-        acc = jax.lax.fori_loop(0, L, body, acc, unroll=False)
-        return acc[L:]
+        acc = jnp.zeros((width,) + jnp.broadcast_shapes(a.shape, b.shape)[1:],
+                        jnp.uint32)
+        for i in range(L):
+            span = min(L, width - i) if truncate else L
+            if span <= 0:
+                break
+            p = a[i : i + 1] * b[:span]            # [span, ...] exact
+            lo = p & _MASK
+            hi = p >> LIMB_BITS
+            lo_w = min(span, width - i)
+            hi_w = min(span, width - i - 1)
+            cfg = lambda off, ln: [(off, width - off - ln)] + [(0, 0)] * (p.ndim - 1)
+            acc = acc + jnp.pad(lo[:lo_w], cfg(i, lo_w))
+            if hi_w > 0:
+                acc = acc + jnp.pad(hi[:hi_w], cfg(i + 1, hi_w))
+        return acc
 
     @partial(jax.jit, static_argnums=0)
     def mul(self, a, b):
-        """Montgomery product: mul(aR, bR) = abR (mod modulus)."""
-        red = self._mont_reduce(self._mul_wide(a, b))
-        return self._cond_sub_mod(self._carry(red))
+        """Montgomery product mul(aR, bR) = abR mod N, via reduction by
+        full multiplication:  t = a*b;  m = (t mod R)*N' mod R;
+        result = (t + m*N) / R.  Three column-accumulation passes + three
+        log-depth carry resolutions; zero word-serial steps.
+        """
+        L = self.L
+        a, b = jnp.broadcast_arrays(a, b)
+        t = self._carry_wide(self._acc_products(a, b, 2 * L, truncate=False))
+        t_lo = t[:L]
+        m = self._carry(
+            self._acc_products(
+                t_lo, self._bshape(self.nprime_limbs, a.ndim), L, truncate=True
+            )
+        )
+        mn = self._acc_products(m, self._bshape(self.mod_limbs, a.ndim), 2 * L,
+                                truncate=False)
+        u = self._carry_wide(mn + t)
+        # low L limbs of u are zero by construction; result is the high half
+        res = u[L:]
+        return self._cond_sub_mod(res)
+
+    def _carry_wide(self, x):
+        """_carry for a 2L-limb accumulator (same algorithm, any length)."""
+        return self._carry(x)
 
     @partial(jax.jit, static_argnums=0)
     def square(self, a):
@@ -219,9 +240,18 @@ class Field:
 
     @partial(jax.jit, static_argnums=0)
     def from_mont(self, a):
-        wide = self._pad_limb(a, 0, 2 * self.L)
-        red = self._mont_reduce(wide)
-        return self._cond_sub_mod(self._carry(red))
+        """mont_reduce(a): multiply by 1 in Montgomery semantics."""
+        L = self.L
+        m = self._carry(
+            self._acc_products(
+                a, self._bshape(self.nprime_limbs, a.ndim), L, truncate=True
+            )
+        )
+        mn = self._acc_products(m, self._bshape(self.mod_limbs, a.ndim), 2 * L,
+                                truncate=False)
+        pad = jnp.zeros((L,) + a.shape[1:], jnp.uint32)
+        u = self._carry(mn + jnp.concatenate([a, pad], axis=0))
+        return self._cond_sub_mod(u[L:])
 
     # -- exponentiation ----------------------------------------------------
 
@@ -245,8 +275,7 @@ class Field:
     def inv(self, a):
         """Batched Fermat inversion a^(p-2); Montgomery in/out.
 
-        0 maps to 0 (callers guard).  Replaces blst's field inversion on
-        the quotient path — fully parallel over the batch, ~2*|p| deep.
+        0 maps to 0 (callers guard).  Fully parallel over the batch.
         """
         return self.pow_const(a, self.modulus - 2)
 

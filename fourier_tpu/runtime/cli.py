@@ -155,6 +155,12 @@ def main(argv=None) -> int:
     try:
         import jax
 
+        # Some accelerator plugins ignore JAX_PLATFORMS; honor an explicit
+        # platform override at config level (tests set FOURIER_PLATFORM=cpu
+        # so spawned servers never grab TPU hardware).
+        if os.environ.get("FOURIER_PLATFORM"):
+            jax.config.update("jax_platforms", os.environ["FOURIER_PLATFORM"])
+
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get(

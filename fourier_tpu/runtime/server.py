@@ -57,16 +57,36 @@ def _enc_g1(pt) -> str:
     return wire.b64_encode(rc.g1_to_bytes(pt))
 
 
+_R_BE = None
+
+
 def _parse_poly_limbs(strs: list[str]) -> np.ndarray:
     """Vectorized wire decode: base64 strings -> [FR_LIMBS, n] canonical limbs.
 
     Validates canonicality (FsFr::from_bytes semantics) on the whole batch.
+    Uses the native C++ fast path when available (fourier_tpu.native),
+    mirroring the reference's native batch_reader IO layer.
     """
+    from ..constants import R
+
+    global _R_BE
+    if _R_BE is None:
+        _R_BE = int(R).to_bytes(32, "big")
+
+    if strs and all(isinstance(s, str) for s in strs):
+        from .. import native
+
+        try:
+            limbs = native.decode_scalars_b64(strs, _R_BE, FR_LIMBS)
+        except ValueError:
+            raise
+        if limbs is not None:
+            return np.ascontiguousarray(limbs.T)
+
     raw = b"".join(wire.b64_decode(s) for s in strs)
     if len(raw) != 32 * len(strs):
         raise ValueError("scalar encoding must be 32 bytes")
     limbs = bytes_be_to_limbs(raw, 32, FR_LIMBS)  # [n, L]
-    from ..constants import R
     from ..ops.limbs import int_to_limbs
 
     if pser._np_geq(limbs, int_to_limbs(R, FR_LIMBS).astype(np.int64)).any():

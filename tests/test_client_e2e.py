@@ -19,8 +19,10 @@ def _free_port() -> int:
 @pytest.mark.e2e
 def test_python_e2e(tmp_path):
     # the spawned server inherits the environment: force CPU + shared
-    # compile cache so the subprocess doesn't grab TPU hardware in CI
+    # compile cache so the subprocess doesn't grab TPU hardware in CI.
+    # (FOURIER_PLATFORM because some plugins ignore JAX_PLATFORMS.)
     os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["FOURIER_PLATFORM"] = "cpu"
     os.environ.setdefault("FOURIER_XLA_CACHE", "/root/.cache/jax_test_cache")
     test_routine(
         host="127.0.0.1",
