@@ -224,3 +224,65 @@ def jac_to_int_points(p: G1Jac):
     ys = vec_to_ints(FP.from_mont(aff.y))
     infs = list(np.asarray(aff.inf).reshape(-1))
     return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+# -- fast-path dispatch (Pallas kernels on TPU) -----------------------------
+
+def _flatten_batch(a):
+    return a.reshape(a.shape[0], -1)
+
+
+def _unflatten(a, shape):
+    return a.reshape(shape)
+
+
+def madd_fast(p: G1Jac, q: G1Aff) -> G1Jac:
+    """madd, routed through the fused Pallas kernel on TPU backends."""
+    from . import pallas_curve as pc
+
+    if pc.enabled():
+        shape = p.x.shape
+        ox, oy, oz = pc.madd(
+            _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z),
+            _flatten_batch(q.x), _flatten_batch(q.y), jnp.atleast_1d(q.inf).reshape(-1),
+        )
+        return G1Jac(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
+    return madd(p, q)
+
+
+def add_fast(p: G1Jac, q: G1Jac) -> G1Jac:
+    from . import pallas_curve as pc
+
+    if pc.enabled():
+        shape = p.x.shape
+        ox, oy, oz = pc.add(
+            _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z),
+            _flatten_batch(q.x), _flatten_batch(q.y), _flatten_batch(q.z),
+        )
+        return G1Jac(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
+    return add(p, q)
+
+
+def dbl_fast(p: G1Jac) -> G1Jac:
+    from . import pallas_curve as pc
+
+    if pc.enabled():
+        shape = p.x.shape
+        ox, oy, oz = pc.dbl(
+            _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z)
+        )
+        return G1Jac(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
+    return dbl(p)
+
+
+def tree_sum_fast(p: G1Jac) -> G1Jac:
+    """tree_sum using the fused add kernel for the wide levels."""
+    n = p.x.shape[-1]
+    while n > 1:
+        half = n // 2
+        p = add_fast(
+            G1Jac(p.x[..., :half], p.y[..., :half], p.z[..., :half]),
+            G1Jac(p.x[..., half:], p.y[..., half:], p.z[..., half:]),
+        )
+        n = half
+    return p

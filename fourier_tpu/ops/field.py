@@ -66,10 +66,18 @@ class Field:
         self.nprime_limbs = int_to_limbs(
             (-pow(modulus, -1, 1 << radix_bits)) % (1 << radix_bits), n_limbs
         )
+        self.n0inv = np.uint32((-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
         self.mod_limbs = int_to_limbs(modulus, n_limbs)        # [L]
         self.compl_mod = (_MASK - self.mod_limbs).astype(np.uint32)  # ~N per limb
         self.r2_limbs = int_to_limbs(self.mont_r2, n_limbs)    # [L]
         self.one_mont = int_to_limbs(self.mont_r, n_limbs)     # [L]
+        one0 = np.zeros(n_limbs, np.uint32)
+        one0[0] = 1
+        self.one0 = one0                                        # [L] == integer 1
+        # Limb-embedding lowering: jnp.pad compiles fast under CPU/TPU XLA
+        # but Mosaic rejects pad; Pallas kernel views flip this to
+        # concatenate (see with_consts).
+        self.emb_concat = False
 
     # -- helpers -----------------------------------------------------------
 
@@ -77,15 +85,67 @@ class Field:
         """Reshape a [L]-like constant to broadcast against [L, ...batch]."""
         return c.reshape((c.shape[0],) + (1,) * (ndim - 1))
 
-    @staticmethod
-    def _shift_up(x, d: int):
+    def _shift_up(self, x, d: int):
         """Shift limbs towards higher indices by d (drop overflow)."""
         if d == 0:
             return x
+        kept = x[: x.shape[0] - d]
+        if self.emb_concat:  # Mosaic path: no pad support
+            zeros = jnp.zeros((d,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([zeros, kept], axis=0)
         cfg = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, cfg)[: x.shape[0]]
+        return jnp.pad(kept, cfg)
+
+    def _place(self, x, off: int, width: int):
+        """Embed x's leading axis at [off, off+len) of a width-wide axis."""
+        tail = width - off - x.shape[0]
+        if self.emb_concat:
+            parts = []
+            if off:
+                parts.append(jnp.zeros((off,) + x.shape[1:], jnp.uint32))
+            parts.append(x)
+            if tail:
+                parts.append(jnp.zeros((tail,) + x.shape[1:], jnp.uint32))
+            return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        cfg = [(off, tail)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg)
+
+    def _use_wide(self) -> bool:
+        """Trace-time formulation choice.
+
+        The wide log-depth formulation is right for the TPU (short
+        pipelines of fat fused ops) but its large HLO graphs compile
+        pathologically slowly under CPU XLA; the rolled fori_loop/scan
+        formulation compiles in seconds on CPU with adequate runtime.
+        Pallas kernel views (emb_concat) always use wide.
+        """
+        if self.emb_concat:
+            return True
+        try:
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return True
 
     def _carry(self, x):
+        """Exact carry resolution for limbs with |values| < 2^26; dispatches
+        between the log-depth Kogge-Stone form and a sequential scan."""
+        if not self._use_wide():
+            return self._carry_seq(x)
+        return self._carry_ks(x)
+
+    def _carry_seq(self, x):
+        """lax.scan carry chain (tiny graph; CPU-test formulation).
+        Handles signed dtypes too (arithmetic shift propagates borrows)."""
+        zero = jnp.zeros(x.shape[1:], x.dtype)
+
+        def step(c, xi):
+            s = xi + c
+            return s >> LIMB_BITS, s & x.dtype.type(LIMB_MASK)
+
+        _, limbs = jax.lax.scan(step, zero, x)
+        return limbs.astype(x.dtype)
+
+    def _carry_ks(self, x):
         """Exact carry resolution for uint32 limbs with values < 2^26.
 
         Two bounded ripple passes bring every limb to <= 2^16, then a
@@ -96,9 +156,10 @@ class Field:
         for _ in range(2):
             c = x >> LIMB_BITS
             x = (x & _MASK) + self._shift_up(c, 1)
-        # limbs now <= 0x10000: single-bit carries
+        # limbs now <= 0x10000: single-bit carries.  Flags kept as uint32
+        # 0/1 (not bool): Mosaic cannot shift/concatenate i1 vectors.
         g = (x >> LIMB_BITS).astype(jnp.uint32)        # generate (0/1)
-        p = ((x & _MASK) == _MASK)                      # propagate
+        p = ((x & _MASK) == _MASK).astype(jnp.uint32)  # propagate (0/1)
         r = x & _MASK
         # carry INTO position i: chain over positions < i
         G = self._shift_up(g, 1)
@@ -112,18 +173,24 @@ class Field:
 
     def _carry_with_overflow(self, x):
         """Like _carry but returns (limbs, overflow_bit) where overflow is
-        the carry out of the top limb (x gets an extra scratch limb)."""
-        pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
-        wide = jnp.concatenate([x, pad], axis=0)
+        the carry out of the top limb (x gets an extra scratch limb).
+
+        Static slices only (integer indexing would lower to dynamic_slice,
+        which Mosaic does not support inside Pallas kernels)."""
+        n = x.shape[0]
+        if self.emb_concat:
+            pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+            wide = jnp.concatenate([x, pad], axis=0)
+        else:
+            wide = jnp.pad(x, [(0, 1)] + [(0, 0)] * (x.ndim - 1))
         out = self._carry(wide)
-        return out[:-1], out[-1] > 0
+        top = jax.lax.index_in_dim(out, n, axis=0, keepdims=False)
+        return jax.lax.slice_in_dim(out, 0, n, axis=0), top > 0
 
     def _sub_mod_raw(self, a):
         """(a - N) mod 2^(16L) and the a >= N flag, via two's complement."""
         compl = self._bshape(self.compl_mod, a.ndim)
-        one0 = np.zeros(self.L, np.uint32)
-        one0[0] = 1
-        t = a + compl + self._bshape(one0, a.ndim)
+        t = a + compl + self._bshape(self.one0, a.ndim)
         limbs, ge = self._carry_with_overflow(t)
         return limbs, ge
 
@@ -142,12 +209,12 @@ class Field:
     @partial(jax.jit, static_argnums=0)
     def sub(self, a, b):
         # a - b + N  ==  a + ~b + N + 1  (mod 2^(16L)), all limbs unsigned
-        consts = self._bshape(
-            (self.mod_limbs + np.concatenate([[1], np.zeros(self.L - 1, np.uint32)]))
-            .astype(np.uint32),
-            a.ndim,
+        t = (
+            a
+            + (b ^ _MASK)
+            + self._bshape(self.mod_limbs, a.ndim)
+            + self._bshape(self.one0, a.ndim)
         )
-        t = a + (self._bshape(np.broadcast_to(_MASK, (self.L,)).astype(np.uint32), b.ndim) - b) + consts
         s = self._carry(t)  # value a-b+N in [1, 2N) after wrap
         return self._cond_sub_mod(s)
 
@@ -172,6 +239,47 @@ class Field:
             (self.L,) + tuple(batch_shape),
         ).astype(jnp.uint32)
 
+    # -- rolled CIOS formulation (CPU-test path: tiny graphs) ---------------
+
+    def _contrib(self, p):
+        """Limb products p [k, ...] -> [k+1, ...] column contribution
+        (lo parts at offset 0, hi parts shifted up one limb)."""
+        lo = p & _MASK
+        hi = p >> LIMB_BITS
+        pad = jnp.zeros((1,) + p.shape[1:], jnp.uint32)
+        return jnp.concatenate([lo, pad], axis=0).at[1:].add(hi)
+
+    def _redc_rolled(self, acc):
+        """Word-serial Montgomery reduction via fori_loop (graph stays tiny)."""
+        L = self.L
+        mod = self._bshape(self.mod_limbs, acc.ndim)
+
+        def body(i, acc):
+            seg = jax.lax.dynamic_slice_in_dim(acc, i, L + 1, axis=0)
+            m = ((seg[:1] & _MASK) * self.n0inv) & _MASK
+            seg = seg + self._contrib(m * mod)
+            carry = seg[:1] >> LIMB_BITS
+            seg = seg.at[1:2].add(carry)
+            return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0)
+
+        acc = jax.lax.fori_loop(0, L, body, acc)
+        return acc[L:]
+
+    def _mul_rolled(self, a, b):
+        L = self.L
+        a, b = jnp.broadcast_arrays(a, b)
+        acc = jnp.zeros((2 * L,) + a.shape[1:], jnp.uint32)
+
+        def body(i, acc):
+            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)
+            seg = jax.lax.dynamic_slice_in_dim(acc, i, L + 1, axis=0)
+            seg = seg + self._contrib(ai * b)
+            return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0)
+
+        acc = jax.lax.fori_loop(0, L, body, acc)
+        red = self._redc_rolled(acc)
+        return self._cond_sub_mod(self._carry(red))
+
     # -- multiplication ----------------------------------------------------
 
     def _acc_products(self, a, b, width: int, truncate: bool):
@@ -184,8 +292,12 @@ class Field:
         accumulation adds, which XLA fuses and trees.
         """
         L = self.L
-        acc = jnp.zeros((width,) + jnp.broadcast_shapes(a.shape, b.shape)[1:],
-                        jnp.uint32)
+        batch = jnp.broadcast_shapes(a.shape, b.shape)[1:]
+        acc = jnp.zeros((width,) + batch, jnp.uint32)
+
+        def place(x, off: int):
+            return self._place(x, off, width)
+
         for i in range(L):
             span = min(L, width - i) if truncate else L
             if span <= 0:
@@ -195,10 +307,9 @@ class Field:
             hi = p >> LIMB_BITS
             lo_w = min(span, width - i)
             hi_w = min(span, width - i - 1)
-            cfg = lambda off, ln: [(off, width - off - ln)] + [(0, 0)] * (p.ndim - 1)
-            acc = acc + jnp.pad(lo[:lo_w], cfg(i, lo_w))
+            acc = acc + place(lo[:lo_w], i)
             if hi_w > 0:
-                acc = acc + jnp.pad(hi[:hi_w], cfg(i + 1, hi_w))
+                acc = acc + place(hi[:hi_w], i + 1)
         return acc
 
     @partial(jax.jit, static_argnums=0)
@@ -206,8 +317,11 @@ class Field:
         """Montgomery product mul(aR, bR) = abR mod N, via reduction by
         full multiplication:  t = a*b;  m = (t mod R)*N' mod R;
         result = (t + m*N) / R.  Three column-accumulation passes + three
-        log-depth carry resolutions; zero word-serial steps.
+        log-depth carry resolutions; zero word-serial steps.  On CPU
+        (tests) a rolled CIOS formulation keeps compiles fast.
         """
+        if not self._use_wide():
+            return self._mul_rolled(a, b)
         L = self.L
         a, b = jnp.broadcast_arrays(a, b)
         t = self._carry_wide(self._acc_products(a, b, 2 * L, truncate=False))
@@ -241,6 +355,9 @@ class Field:
     @partial(jax.jit, static_argnums=0)
     def from_mont(self, a):
         """mont_reduce(a): multiply by 1 in Montgomery semantics."""
+        if not self._use_wide():
+            wide = self._place(a, 0, 2 * self.L)
+            return self._cond_sub_mod(self._carry(self._redc_rolled(wide)))
         L = self.L
         m = self._carry(
             self._acc_products(
@@ -282,3 +399,29 @@ class Field:
 
 FR = Field(R, FR_LIMBS)
 FP = Field(P, FP_LIMBS)
+
+
+# -- Pallas support: constants as kernel operands ---------------------------
+
+_CONST_FIELDS = ("mod_limbs", "nprime_limbs", "compl_mod", "one_mont",
+                 "r2_limbs", "one0")
+
+
+def packed_consts(field: Field) -> np.ndarray:
+    """Stack the field's [L] constants into one [6, L] operand, so Pallas
+    kernels can receive them as an input (Mosaic rejects captured array
+    constants)."""
+    return np.stack([getattr(field, n) for n in _CONST_FIELDS])
+
+
+def with_consts(field: Field, packed) -> Field:
+    """A shallow view of `field` whose constants are rows of `packed`
+    (traced values inside a kernel).  Only the non-jitted method internals
+    may be used on the view."""
+    import copy
+
+    fv = copy.copy(field)
+    for i, n in enumerate(_CONST_FIELDS):
+        setattr(fv, n, jax.lax.index_in_dim(packed, i, axis=0, keepdims=False))
+    fv.emb_concat = True  # Mosaic kernels cannot lower jnp.pad
+    return fv

@@ -83,7 +83,7 @@ def _bucket_accumulate(points: G1Aff, digits, n_buckets: int) -> G1Jac:
             jnp.take(sy, idx, axis=-1),
             sinf[idx] | ~valid,
         )
-        return r + 1, cv.madd(acc, q)
+        return r + 1, cv.madd_fast(acc, q)
 
     _, acc = jax.lax.while_loop(
         cond, body, (jnp.int32(0), cv.jac_identity((n_buckets,)))
@@ -91,56 +91,41 @@ def _bucket_accumulate(points: G1Aff, digits, n_buckets: int) -> G1Jac:
     return acc
 
 
-def _stack_jac(p: G1Jac):
-    """[L, k] point batch -> scan sequence of k single points ([k, L])."""
-    return (
-        jnp.moveaxis(p.x, -1, 0),
-        jnp.moveaxis(p.y, -1, 0),
-        jnp.moveaxis(p.z, -1, 0),
-    )
-
-
-def _weighted_suffix_sum(p: G1Jac, length: int) -> tuple[G1Jac, G1Jac]:
-    """Given points P_0..P_{length-1} along the minor axis (with arbitrary
-    batch dims in between), return (A, C) where A = sum_j P_j and
-    C = sum_j j * P_j, using suffix scans: length-1 steps of 2 batched adds.
-    """
-    # sequence k = length-1 .. 1
-    seq = G1Jac(p.x[..., :0:-1], p.y[..., :0:-1], p.z[..., :0:-1])
-    xs = _stack_jac(seq)
-    batch = p.x.shape[1:-1]
-    init = (cv.jac_identity(batch), cv.jac_identity(batch))
-
-    def step(carry, pk):
-        t, cw = carry
-        t = cv.add(t, G1Jac(*pk))
-        cw = cv.add(cw, t)
-        return (t, cw), None
-
-    (t, cw), _ = jax.lax.scan(step, init, xs)
-    a = cv.add(t, G1Jac(p.x[..., 0], p.y[..., 0], p.z[..., 0]))
-    return a, cw
-
-
 def _weighted_bucket_sum(buckets: G1Jac, n_buckets: int) -> G1Jac:
-    """sum_b b * buckets[b] via sqrt-decomposition: b = g*s + j gives
-    total = s * sum_g g*A_g + sum_g C_g with batched inner scans."""
-    s = 1 << (max(n_buckets.bit_length() - 1, 0) // 2)
-    s = max(min(s, n_buckets), 1)
-    g = n_buckets // s
+    """sum_b b * buckets[b] via bit decomposition of the bucket index:
 
-    grouped = G1Jac(
-        buckets.x.reshape(FP_LIMBS, g, s),
-        buckets.y.reshape(FP_LIMBS, g, s),
-        buckets.z.reshape(FP_LIMBS, g, s),
+        sum_b b*B_b = sum_j 2^j * (sum_{b: bit j of b} B_b)
+
+    All c masked partial sums are computed in ONE batched tree reduction
+    of width c * n_buckets (masked-out lanes become the identity by
+    zeroing z), so the sequential depth is c (tree levels) + c (the
+    doubling/Horner combine) — wide, fused steps instead of the CPU-style
+    serial running sum over all buckets."""
+    c = n_buckets.bit_length() - 1
+    if c == 0:
+        return G1Jac(buckets.x[..., 0], buckets.y[..., 0], buckets.z[..., 0])
+    idx = np.arange(n_buckets)
+    masks = np.stack([(idx >> j) & 1 for j in range(c)]).astype(bool)  # [c, B]
+
+    bx = jnp.broadcast_to(buckets.x[:, None, :], (FP_LIMBS, c, n_buckets))
+    by = jnp.broadcast_to(buckets.y[:, None, :], (FP_LIMBS, c, n_buckets))
+    bz = jnp.where(masks[None], buckets.z[:, None, :], 0)  # z=0 -> identity
+    partial = cv.tree_sum_fast(G1Jac(bx, by, bz))               # [L, c, 1]
+    sx = partial.x[..., 0]
+    sy = partial.y[..., 0]
+    sz = partial.z[..., 0]
+
+    # Horner over bits, high to low: acc = 2*acc + S_j
+    def step(acc, s_j):
+        return cv.add_fast(cv.dbl_fast(acc), G1Jac(*s_j)), None
+
+    seq = (
+        jnp.moveaxis(sx, -1, 0)[::-1],
+        jnp.moveaxis(sy, -1, 0)[::-1],
+        jnp.moveaxis(sz, -1, 0)[::-1],
     )
-    a, cw = _weighted_suffix_sum(grouped, s)  # per-group: A_g, C_g  [L, g]
-    _, w2 = _weighted_suffix_sum(a, g)        # sum_g g*A_g  [L]
-    for _ in range(s.bit_length() - 1):       # multiply by s (power of two)
-        w2 = cv.dbl(w2)
-    cg = cv.tree_sum(cw)
-    cg = G1Jac(cg.x[..., 0], cg.y[..., 0], cg.z[..., 0])
-    return cv.add(w2, cg)
+    acc, _ = jax.lax.scan(step, cv.jac_identity(()), seq)
+    return acc
 
 
 def _auto_window(n: int) -> int:
@@ -174,8 +159,8 @@ def msm(points: G1Aff, scalars, c: int = 0) -> G1Jac:
 
     # combine windows from the top down: c doublings then add
     def step(acc, wpt):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl(a), acc)
-        return cv.add(acc, G1Jac(*wpt)), None
+        acc = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl_fast(a), acc)
+        return cv.add_fast(acc, G1Jac(*wpt)), None
 
     acc, _ = jax.lax.scan(
         step, cv.jac_identity(()), (wx[::-1], wy[::-1], wz[::-1])
@@ -199,13 +184,13 @@ def msm_naive(points: G1Aff, scalars) -> G1Jac:
         limb = i // LIMB_BITS
         off = i % LIMB_BITS
         bit = ((scalars[limb] >> off) & 1).astype(bool)
-        added = cv.add(acc, base)
+        added = cv.add_fast(acc, base)
         acc = G1Jac(
             FP.select(bit, added.x, acc.x),
             FP.select(bit, added.y, acc.y),
             FP.select(bit, added.z, acc.z),
         )
-        return acc, cv.dbl(base)
+        return acc, cv.dbl_fast(base)
 
     acc, _ = jax.lax.fori_loop(0, FR_LIMBS * LIMB_BITS, body, (acc, base))
     # pad to a power of two for the tree reduction
@@ -217,7 +202,7 @@ def msm_naive(points: G1Aff, scalars) -> G1Jac:
             jnp.concatenate([acc.y, pad.y], axis=-1),
             jnp.concatenate([acc.z, pad.z], axis=-1),
         )
-    out = cv.tree_sum(acc)
+    out = cv.tree_sum_fast(acc)
     return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
 
 
@@ -278,7 +263,7 @@ def _fixed_base_apply(table: G1Aff, scalars, c: int) -> G1Jac:
             jnp.take(table.y, idx, axis=-1),
             table.inf[idx],
         )
-        return cv.madd(acc, q), None
+        return cv.madd_fast(acc, q), None
 
     acc, _ = jax.lax.scan(step, cv.jac_identity((n,)), idx_all)
     return acc
@@ -303,7 +288,7 @@ def bgmw_expand(points: G1Aff, c: int) -> G1Aff:
 
     def step(p, _):
         row = p
-        p = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl(a), p)
+        p = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl_fast(a), p)
         return p, (row.x, row.y, row.z)
 
     _, (rx, ry, rz) = jax.lax.scan(step, jac, None, length=n_windows)
