@@ -132,7 +132,7 @@ def _auto_window(n: int) -> int:
     """Window size tuned for the TPU schedule: more buckets = fewer, fatter
     bucket-accumulation rows (mean load ~16), which matters far more on a
     vector machine than the bucket-reduction work it adds."""
-    return max(6, min(15, n.bit_length() - 4))
+    return max(6, min(13, n.bit_length() - 4))
 
 
 @partial(jax.jit, static_argnums=(2,))
