@@ -342,9 +342,48 @@ class Field:
         """_carry for a 2L-limb accumulator (same algorithm, any length)."""
         return self._carry(x)
 
+    def _acc_square(self, a, width: int):
+        """Deferred-carry column accumulation of a*a using symmetry:
+        off-diagonal products contribute twice, so only L(L+1)/2 limb
+        multiplies are issued (~45% fewer than _acc_products).  Doubling
+        happens on the 16-bit halves (< 2^17), keeping column sums < 2^23.
+        """
+        L = self.L
+        acc = jnp.zeros((width,) + a.shape[1:], jnp.uint32)
+        for i in range(L):
+            span = L - i
+            p = a[i : i + 1] * a[i:]            # products a_i * a_j, j >= i
+            lo = p & _MASK
+            hi = p >> LIMB_BITS
+            # diagonal term once, off-diagonal terms twice
+            two = jnp.concatenate(
+                [jnp.ones((1,) + a.shape[1:], jnp.uint32),
+                 jnp.full((span - 1,) + a.shape[1:], 2, jnp.uint32)],
+                axis=0,
+            ) if span > 1 else jnp.ones((1,) + a.shape[1:], jnp.uint32)
+            acc = acc + self._place(lo * two, 2 * i, width)
+            acc = acc + self._place(hi * two, 2 * i + 1, width)
+        return acc
+
     @partial(jax.jit, static_argnums=0)
     def square(self, a):
-        return self.mul(a, a)
+        """Montgomery squaring: symmetric product pass + standard reduction."""
+        if not self._use_wide():
+            return self._mul_rolled(a, a)
+        L = self.L
+        t = self._carry(self._acc_square(a, 2 * L))
+        t_lo = jax.lax.slice_in_dim(t, 0, L, axis=0)
+        m = self._carry(
+            self._acc_products(
+                t_lo, self._bshape(self.nprime_limbs, a.ndim), L, truncate=True
+            )
+        )
+        mn = self._acc_products(
+            m, self._bshape(self.mod_limbs, a.ndim), 2 * L, truncate=False
+        )
+        u = self._carry(mn + t)
+        res = jax.lax.slice_in_dim(u, L, 2 * L, axis=0)
+        return self._cond_sub_mod(res)
 
     # -- Montgomery domain conversions --------------------------------------
 

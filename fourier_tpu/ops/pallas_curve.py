@@ -87,7 +87,7 @@ def _grid_call(kernel, n_out: int, *arrs):
 # -- kernel bodies (operate on values, reuse the Field formulas) ------------
 
 _f_mul = FP.mul.__wrapped__
-_f_sq = lambda f, a: FP.mul.__wrapped__(f, a, a)
+_f_sq = lambda f, a: FP.square.__wrapped__(f, a)
 _f_add = FP.add.__wrapped__
 _f_sub = FP.sub.__wrapped__
 

@@ -77,3 +77,24 @@ def test_2d_batch(rng):
     a = jnp.asarray(ints_to_vec(flat, FR.L)).reshape(FR.L, 3, 4)
     out = vec_to_ints(FR.add(a, a))
     assert out == [2 * v % R for v in flat]
+
+
+def test_wide_square_formulation(rng):
+    """The symmetric squaring pass (TPU/Pallas formulation) is exact.
+
+    Exercised via a kernel-view field (emb_concat) so the wide path runs
+    even on the CPU test backend."""
+    import jax.numpy as jnp
+
+    from fourier_tpu.ops.field import packed_consts, with_consts
+
+    for field in (FR, FP):
+        fv = with_consts(field, jnp.asarray(packed_consts(field)))
+        xs = [rng.randrange(field.modulus) for _ in range(8)] + [0, 1, field.modulus - 1]
+        a = field.to_mont(jnp.asarray(ints_to_vec(xs, field.L)))
+        sq = type(field).square.__wrapped__(fv, a)
+        got = vec_to_ints(field.from_mont(sq))
+        assert got == [x * x % field.modulus for x in xs]
+        # and the wide general multiply agrees too
+        mm = type(field).mul.__wrapped__(fv, a, a)
+        assert vec_to_ints(field.from_mont(mm)) == got
