@@ -242,7 +242,7 @@ def madd_fast(p: G1Jac, q: G1Aff) -> G1Jac:
 
     if pc.enabled():
         shape = p.x.shape
-        ox, oy, oz = pc.madd(
+        ox, oy, oz = pc.madd_checked(
             _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z),
             _flatten_batch(q.x), _flatten_batch(q.y), jnp.atleast_1d(q.inf).reshape(-1),
         )
@@ -255,7 +255,7 @@ def add_fast(p: G1Jac, q: G1Jac) -> G1Jac:
 
     if pc.enabled():
         shape = p.x.shape
-        ox, oy, oz = pc.add(
+        ox, oy, oz = pc.add_checked(
             _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z),
             _flatten_batch(q.x), _flatten_batch(q.y), _flatten_batch(q.z),
         )

@@ -249,3 +249,161 @@ def enabled() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# -- incomplete (collision-flagged) variants --------------------------------
+#
+# In the MSM inner loops the same-point case (which forces the expensive
+# doubling path, ~35% of the complete kernel's work) can only occur if a
+# partial bucket sum collides with the next base point — which requires
+# knowing discrete logs of the SRS points.  The fast kernels below omit
+# the doubling path entirely and instead emit a per-lane collision flag;
+# the wrapper re-runs the complete kernel under `lax.cond` if any lane
+# flagged, preserving exact semantics.
+
+def _madd_values_incomplete(f, x1, y1, z1, x2, y2, inf2):
+    z1z1 = _f_sq(f, z1)
+    u2 = _f_mul(f, x2, z1z1)
+    s2 = _f_mul(f, _f_mul(f, y2, z1), z1z1)
+    h = _f_sub(f, u2, x1)
+    hh = _f_sq(f, h)
+    i = _f_add(f, hh, hh)
+    i = _f_add(f, i, i)
+    j = _f_mul(f, h, i)
+    rr = _f_sub(f, s2, y1)
+    rr = _f_add(f, rr, rr)
+    v = _f_mul(f, x1, i)
+    x3 = _f_sub(f, _f_sub(f, _f_sq(f, rr), j), _f_add(f, v, v))
+    yj = _f_mul(f, y1, j)
+    y3 = _f_sub(f, _f_mul(f, rr, _f_sub(f, v, x3)), _f_add(f, yj, yj))
+    z3 = _f_sub(f, _f_sub(f, _f_sq(f, _f_add(f, z1, h)), z1z1), hh)
+
+    p_inf = jnp.all(z1 == 0, axis=0)
+    collision = (
+        jnp.all(h == 0, axis=0) & jnp.all(rr == 0, axis=0) & ~p_inf & ~inf2
+    )
+    one = jnp.broadcast_to(f.one_mont[:, None], z1.shape).astype(jnp.uint32)
+    x3 = _select(p_inf, x2, x3)
+    y3 = _select(p_inf, y2, y3)
+    z3 = _select(p_inf, one, z3)
+    x3 = _select(inf2, x1, x3)
+    y3 = _select(inf2, y1, y3)
+    z3 = _select(inf2, z1, z3)
+    return x3, y3, z3, collision
+
+
+def _madd_inc_kernel(consts, x1, y1, z1, x2, y2, inf2, ox, oy, oz, oflag):
+    f = with_consts(FP, consts[...])
+    rx, ry, rz, col = _madd_values_incomplete(
+        f, x1[...], y1[...], z1[...], x2[...], y2[...],
+        jnp.squeeze(inf2[...], axis=0).astype(bool),
+    )
+    ox[...] = rx
+    oy[...] = ry
+    oz[...] = rz
+    oflag[...] = col[None].astype(jnp.uint32)
+
+
+def _add_values_incomplete(f, x1, y1, z1, x2, y2, z2):
+    z1z1 = _f_sq(f, z1)
+    z2z2 = _f_sq(f, z2)
+    u1 = _f_mul(f, x1, z2z2)
+    u2 = _f_mul(f, x2, z1z1)
+    s1 = _f_mul(f, _f_mul(f, y1, z2), z2z2)
+    s2 = _f_mul(f, _f_mul(f, y2, z1), z1z1)
+    h = _f_sub(f, u2, u1)
+    i = _f_sq(f, _f_add(f, h, h))
+    j = _f_mul(f, h, i)
+    rr = _f_sub(f, s2, s1)
+    rr = _f_add(f, rr, rr)
+    v = _f_mul(f, u1, i)
+    x3 = _f_sub(f, _f_sub(f, _f_sq(f, rr), j), _f_add(f, v, v))
+    s1j = _f_mul(f, s1, j)
+    y3 = _f_sub(f, _f_mul(f, rr, _f_sub(f, v, x3)), _f_add(f, s1j, s1j))
+    z3 = _f_mul(
+        f, _f_sub(f, _f_sub(f, _f_sq(f, _f_add(f, z1, z2)), z1z1), z2z2), h
+    )
+    p_inf = jnp.all(z1 == 0, axis=0)
+    q_inf = jnp.all(z2 == 0, axis=0)
+    collision = (
+        jnp.all(h == 0, axis=0) & jnp.all(rr == 0, axis=0) & ~p_inf & ~q_inf
+    )
+    x3 = _select(p_inf, x2, _select(q_inf, x1, x3))
+    y3 = _select(p_inf, y2, _select(q_inf, y1, y3))
+    z3 = _select(p_inf, z2, _select(q_inf, z1, z3))
+    return x3, y3, z3, collision
+
+
+def _add_inc_kernel(consts, x1, y1, z1, x2, y2, z2, ox, oy, oz, oflag):
+    f = with_consts(FP, consts[...])
+    rx, ry, rz, col = _add_values_incomplete(
+        f, x1[...], y1[...], z1[...], x2[...], y2[...], z2[...]
+    )
+    ox[...] = rx
+    oy[...] = ry
+    oz[...] = rz
+    oflag[...] = col[None].astype(jnp.uint32)
+
+
+def _grid_call_flagged(kernel, *arrs):
+    """_grid_call variant with a 4th [1, B] uint32 flag output."""
+    batch = arrs[0].shape[-1]
+    arrs, padded = _pad_to_tile(list(arrs), batch)
+    grid = padded // TILE
+
+    def spec(a):
+        block = a.shape[:-1] + (TILE,)
+        nlead = len(block) - 1
+        return pl.BlockSpec(
+            block, lambda i, _n=nlead: (0,) * _n + (i,), memory_space=pltpu.VMEM
+        )
+
+    consts_spec = pl.BlockSpec(
+        _FP_CONSTS.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    coord = jax.ShapeDtypeStruct((FP_LIMBS, padded), jnp.uint32)
+    flag = jax.ShapeDtypeStruct((1, padded), jnp.uint32)
+    coord_spec = pl.BlockSpec(
+        (FP_LIMBS, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    flag_spec = pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ox, oy, oz, fl = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[consts_spec] + [spec(a) for a in arrs],
+        out_specs=(coord_spec, coord_spec, coord_spec, flag_spec),
+        out_shape=(coord, coord, coord, flag),
+    )(jnp.asarray(_FP_CONSTS), *arrs)
+    return (
+        ox[..., :batch], oy[..., :batch], oz[..., :batch], fl[..., :batch]
+    )
+
+
+@jax.jit
+def madd_checked(p_x, p_y, p_z, q_x, q_y, q_inf):
+    """Incomplete fast madd with exact-fallback on collision lanes."""
+    inf_row = q_inf[None].astype(jnp.uint32)
+    ox, oy, oz, fl = _grid_call_flagged(
+        _madd_inc_kernel, p_x, p_y, p_z, q_x, q_y, inf_row
+    )
+
+    def slow(_):
+        return madd(p_x, p_y, p_z, q_x, q_y, q_inf)
+
+    return jax.lax.cond(
+        jnp.any(fl > 0), slow, lambda _: (ox, oy, oz), operand=None
+    )
+
+
+@jax.jit
+def add_checked(p_x, p_y, p_z, q_x, q_y, q_z):
+    ox, oy, oz, fl = _grid_call_flagged(
+        _add_inc_kernel, p_x, p_y, p_z, q_x, q_y, q_z
+    )
+
+    def slow(_):
+        return add(p_x, p_y, p_z, q_x, q_y, q_z)
+
+    return jax.lax.cond(
+        jnp.any(fl > 0), slow, lambda _: (ox, oy, oz), operand=None
+    )
