@@ -15,14 +15,17 @@ from ..constants import FP_LIMBS, FR_LIMBS, LIMB_BITS, LIMB_MASK
 
 
 def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
-    """List/iterable of ints -> [n, n_limbs] uint32 little-endian limbs."""
+    """List/iterable of ints -> [n, n_limbs] uint32 little-endian limbs.
+
+    Vectorized through int.to_bytes + numpy (the per-limb Python loop cost
+    ~60s at 2^19 elements)."""
     values = list(values)
-    out = np.empty((len(values), n_limbs), dtype=np.uint32)
-    for row, v in enumerate(values):
-        v = int(v)
-        for i in range(n_limbs):
-            out[row, i] = (v >> (LIMB_BITS * i)) & LIMB_MASK
-    return out
+    nbytes = 2 * n_limbs
+    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    a = np.frombuffer(buf, np.uint8).reshape(len(values), nbytes)
+    return np.ascontiguousarray(
+        a[:, 0::2].astype(np.uint32) | (a[:, 1::2].astype(np.uint32) << 8)
+    )
 
 
 def int_to_limbs(v: int, n_limbs: int) -> np.ndarray:
@@ -31,15 +34,17 @@ def int_to_limbs(v: int, n_limbs: int) -> np.ndarray:
 
 def limbs_to_ints(arr) -> list[int]:
     """[..., L] limbs -> flat list of ints over the leading dims."""
-    a = np.asarray(arr)
+    a = np.asarray(arr, dtype=np.uint32)
     flat = a.reshape(-1, a.shape[-1])
-    out = []
-    for row in flat:
-        v = 0
-        for i, limb in enumerate(row):
-            v |= int(limb) << (LIMB_BITS * i)
-        out.append(v)
-    return out
+    n, L = flat.shape
+    le = np.empty((n, 2 * L), np.uint8)
+    le[:, 0::2] = flat & 0xFF
+    le[:, 1::2] = (flat >> 8) & 0xFF
+    buf = le.tobytes()
+    w = 2 * L
+    return [
+        int.from_bytes(buf[i * w : (i + 1) * w], "little") for i in range(n)
+    ]
 
 
 def limbs_to_int(arr) -> int:
