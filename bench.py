@@ -6,20 +6,96 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md): its only harness is a
 criterion bench of worker_commit at toy scale (reference
 benches/piano.rs:41-63).  We benchmark the same operation — an MSM of
-T random points against random canonical scalars — at
-BENCH_SCALE (default 2^16 points), reporting points/sec.
-vs_baseline is reported against the recorded value in BENCH_BASELINE.json
-when present, else 1.0.
+T random points against uniformly-drawn canonical scalars — at
+BENCH_SCALE (default 2^19, the per-worker size of the reference's
+default scale-20/machines-scale-1 configuration), reporting points/sec.
+vs_baseline compares against BENCH_BASELINE.json (this build's round-1
+measured numbers) when present.
+
+Robustness (the round-1 driver run timed out before printing):
+- base points are cached on disk after first generation;
+- the MSM executable is AOT-cached (fourier_tpu.runtime.aot), so a
+  warm process reaches its first result in seconds, not minutes;
+- a wall-clock budget (BENCH_BUDGET, default 480 s) downshifts the
+  scale ladder when artifacts are cold;
+- SIGTERM/SIGINT print the best measurement taken so far, so even a
+  driver-side `timeout` yields a parseable line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
+
+START = time.perf_counter()
+_RESULT: dict | None = None
+_PRINTED = False
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {time.perf_counter() - START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _emit() -> None:
+    global _PRINTED
+    if _PRINTED:
+        return
+    if _RESULT is not None:
+        print(json.dumps(_RESULT), flush=True)
+        _PRINTED = True
+
+
+def _on_signal(signum, frame):
+    _log(f"signal {signum}: emitting best-so-far result")
+    _emit()
+    raise SystemExit(0 if _PRINTED else 1)
+
+
+def _points_cache_dir() -> str:
+    path = os.path.join(os.path.expanduser("~"), ".cache", "fourier_tpu_bench")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _canonical_scalars(rng, n: int):
+    """Uniform scalars in [0, r): rejection sampling on 255-bit draws.
+
+    The reference benches real Fr elements (FsFr::rand); masking to
+    2^255 without rejecting >= r would admit ~1.3% non-canonical
+    scalars with a skewed top window."""
+    import numpy as np
+
+    from fourier_tpu.constants import FR_LIMBS, R
+    from fourier_tpu.ops.limbs import int_to_limbs
+
+    r_limbs = int_to_limbs(R, FR_LIMBS)  # little-endian uint32 view
+    out = np.zeros((FR_LIMBS, n), dtype=np.uint32)
+    need = np.ones(n, dtype=bool)
+    while need.any():
+        k = int(need.sum())
+        draw = rng.integers(0, 1 << 16, size=(FR_LIMBS, k), dtype=np.uint32)
+        draw[-1] &= 0x7FFF  # 255-bit
+        lt = np.zeros(k, dtype=bool)
+        eq = np.ones(k, dtype=bool)
+        for limb in range(FR_LIMBS - 1, -1, -1):
+            lt |= eq & (draw[limb] < r_limbs[limb])
+            eq &= draw[limb] == r_limbs[limb]
+        idx = np.flatnonzero(need)
+        take = idx[: k][lt]
+        out[:, take] = draw[:, lt]
+        need[take] = False
+    return out
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    global _RESULT
     os.environ.setdefault(
         "FOURIER_XLA_CACHE", os.path.expanduser("~/.cache/fourier_tpu_xla")
     )
@@ -31,73 +107,125 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from fourier_tpu.constants import FR_LIMBS, R
+    from fourier_tpu.constants import FP_LIMBS, FR_LIMBS, R
     from fourier_tpu.ops import msm as msm_mod
     from fourier_tpu.ops.curve import G1Aff, to_affine
     from fourier_tpu.ops.limbs import ints_to_vec
     from fourier_tpu.refimpl.curve import G1_GEN
+    from fourier_tpu.runtime import aot
 
-    scale = int(os.environ.get("BENCH_SCALE", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
-    n = 1 << scale
+    target_scale = int(os.environ.get("BENCH_SCALE", "19"))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    budget = float(os.environ.get("BENCH_BUDGET", "480"))
+    deadline = START + budget
 
-    # Base points: random multiples of the generator, built on device.
-    seed_scalars = [pow(5, j + 1, R) for j in range(n)]
-    points = to_affine(
-        msm_mod.fixed_base_msm(
-            G1_GEN, jnp.asarray(ints_to_vec(seed_scalars, FR_LIMBS))
+    def remaining() -> float:
+        return deadline - time.perf_counter()
+
+    _log(f"devices={jax.devices()} target=2^{target_scale} budget={budget}s")
+
+    def load_points(scale: int) -> G1Aff:
+        """Deterministic base points (generator multiples), disk-cached."""
+        n = 1 << scale
+        path = os.path.join(_points_cache_dir(), f"points_{scale}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                x, y = z["x"], z["y"]
+            _log(f"points 2^{scale} loaded from cache")
+            return G1Aff(jnp.asarray(x), jnp.asarray(y),
+                         jnp.zeros((n,), bool))
+        _log(f"generating 2^{scale} points on device ...")
+        seeds = [pow(5, j + 1, R) for j in range(n)]
+        pts = to_affine(
+            msm_mod.fixed_base_msm(G1_GEN, jnp.asarray(ints_to_vec(seeds, FR_LIMBS)))
         )
-    )
-    jax.block_until_ready(points)
+        x = np.asarray(pts.x)
+        y = np.asarray(pts.y)
+        np.savez(path, x=x, y=y)
+        _log(f"points 2^{scale} generated + cached")
+        return G1Aff(jnp.asarray(x), jnp.asarray(y), jnp.zeros((n,), bool))
 
-    rng = np.random.default_rng(0)
-    def rand_scalars():
-        raw = rng.integers(0, 1 << 16, size=(FR_LIMBS, n), dtype=np.uint32)
-        raw[-1] &= 0x7FFF  # < 2^255 < r guarantee not needed; keep < r loosely
-        return jnp.asarray(raw)
-
-    def sync(x):
+    def sync(a):
         # On tunneled platforms block_until_ready can report at enqueue;
         # a host readback is the only reliable completion barrier.
-        return np.asarray(x)
+        return np.asarray(a)
 
-    sc_warm = rand_scalars()
-    out = msm_mod.msm(points, sc_warm)
-    sync(out.x)  # compile + run
+    # Scale ladder: prefer the target, fall back to smaller scales when
+    # artifacts are cold and the budget would not cover an XLA compile.
+    ladder = []
+    for s in (target_scale, 16, 12):
+        if s not in ladder:
+            ladder.append(s)
 
-    times = []
-    for _ in range(iters):
-        sc = rand_scalars()
-        sync(sc[:1, :1])
-        t0 = time.perf_counter()
-        out = msm_mod.msm(points, sc)
-        sync(out.x)
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    ops_per_s = n / best
-
-    vs_baseline = 1.0
-    baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
-    if os.path.exists(baseline_path):
+    baseline_map = {}
+    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH_BASELINE.json")
+    if os.path.exists(bp):
         try:
-            with open(baseline_path) as f:
-                recorded = json.load(f).get("value")
-            if recorded:
-                vs_baseline = ops_per_s / float(recorded)
+            with open(bp) as f:
+                baseline_map = json.load(f).get("points_per_s", {})
         except Exception:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": f"worker_commit_msm_2^{scale}_points_per_s",
-                "value": round(ops_per_s, 1),
-                "unit": "points/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
+    for scale in ladder:
+        n = 1 << scale
+        probe = G1Aff(
+            jax.ShapeDtypeStruct((FP_LIMBS, n), jnp.uint32),
+            jax.ShapeDtypeStruct((FP_LIMBS, n), jnp.uint32),
+            jax.ShapeDtypeStruct((n,), jnp.bool_),
         )
-    )
+        sc_probe = jax.ShapeDtypeStruct((FR_LIMBS, n), jnp.uint32)
+        warm = aot.exists(f"msm_s{scale}", (probe, sc_probe), extra_key="c0")
+        pts_cached = os.path.exists(
+            os.path.join(_points_cache_dir(), f"points_{scale}.npz"))
+        # Cold compile of the MSM program takes ~3-6 min on the tunneled
+        # TPU; only attempt it with generous remaining budget.
+        need = 60 if (warm and pts_cached) else 600
+        if remaining() < need and scale != ladder[-1]:
+            _log(f"skip 2^{scale}: {remaining():.0f}s left, need ~{need}s "
+                 f"(aot={'warm' if warm else 'cold'})")
+            continue
+
+        points = load_points(scale)
+        rng = np.random.default_rng(0)
+        scalars = jnp.asarray(_canonical_scalars(rng, n))
+        _log("scalars ready")
+
+        exe = aot.get_or_build(
+            f"msm_s{scale}", msm_mod.msm, (points, scalars),
+            extra_key="c0", lower_args=(points, scalars, 0),
+        )
+        _log("executable ready")
+        out = exe(points, scalars)
+        sync(out.x if hasattr(out, "x") else out[0])
+        _log("warm run done")
+
+        times = []
+        for i in range(iters):
+            sc = jnp.asarray(_canonical_scalars(rng, n))
+            sync(sc[:1, :1])
+            t0 = time.perf_counter()
+            out = exe(points, sc)
+            sync(out.x if hasattr(out, "x") else out[0])
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            value = n / min(times)
+            _RESULT = {
+                "metric": f"worker_commit_msm_2^{scale}_points_per_s",
+                "value": round(value, 1),
+                "unit": "points/s",
+                "vs_baseline": round(
+                    value / float(baseline_map.get(str(scale), value)), 4
+                ),
+            }
+            _log(f"iter {i}: {dt:.3f}s ({n/dt:.0f} pts/s)")
+            if remaining() < dt * 1.5:
+                break
+        break
+
+    _emit()
+    if _RESULT is None:
+        raise SystemExit("bench: no measurement completed")
 
 
 if __name__ == "__main__":

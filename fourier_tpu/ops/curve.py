@@ -67,11 +67,22 @@ def is_identity(p: G1Jac):
     return FP.is_zero(p.z)
 
 
-@jax.jit
-def dbl(p: G1Jac) -> G1Jac:
+# A Field view that always uses the rolled (fori_loop) formulation: the
+# complete-formula fallback branches below are traced into `lax.cond`
+# alternates that execute only on collision lanes (cryptographically
+# unreachable for honest inputs) — with the wide unrolled formulation
+# they would bloat the compiled executable by tens of MB, which on a
+# tunneled TPU directly costs minutes of program-upload time.
+import copy as _copy
+
+FP_COMPACT = _copy.copy(FP)
+FP_COMPACT.force_rolled = True
+
+
+@partial(jax.jit, static_argnums=0)
+def _dbl_impl(f, p: G1Jac) -> G1Jac:
     """Point doubling; identity maps to identity with no special casing
     (z3 = 2*y*z = 0 whenever z = 0)."""
-    f = FP
     a = f.square(p.x)
     b = f.square(p.y)
     c = f.square(b)
@@ -87,10 +98,13 @@ def dbl(p: G1Jac) -> G1Jac:
     return G1Jac(x3, y3, z3)
 
 
-@jax.jit
-def add(p: G1Jac, q: G1Jac) -> G1Jac:
+def dbl(p: G1Jac) -> G1Jac:
+    return _dbl_impl(FP, p)
+
+
+@partial(jax.jit, static_argnums=0)
+def _add_impl(f, p: G1Jac, q: G1Jac) -> G1Jac:
     """Complete Jacobian + Jacobian addition via branchless selects."""
-    f = FP
     z1z1 = f.square(p.z)
     z2z2 = f.square(q.z)
     u1 = f.mul(p.x, z2z2)
@@ -110,7 +124,7 @@ def add(p: G1Jac, q: G1Jac) -> G1Jac:
     # h == 0, rr == 0 -> same point: use the doubling result.
     # h == 0, rr != 0 -> inverse pair: z3 = 0 falls out automatically.
     same = f.is_zero(h) & f.is_zero(rr)
-    dp = dbl(p)
+    dp = _dbl_impl(f, p)
     x3 = f.select(same, dp.x, x3)
     y3 = f.select(same, dp.y, y3)
     z3 = f.select(same, dp.z, z3)
@@ -122,10 +136,13 @@ def add(p: G1Jac, q: G1Jac) -> G1Jac:
     return G1Jac(x3, y3, z3)
 
 
-@jax.jit
-def madd(p: G1Jac, q: G1Aff) -> G1Jac:
+def add(p: G1Jac, q: G1Jac) -> G1Jac:
+    return _add_impl(FP, p, q)
+
+
+@partial(jax.jit, static_argnums=0)
+def _madd_impl(f, p: G1Jac, q: G1Aff) -> G1Jac:
     """Mixed addition (q affine, z=1): the MSM workhorse (7M + 4S)."""
-    f = FP
     z1z1 = f.square(p.z)
     u2 = f.mul(q.x, z1z1)
     s2 = f.mul(f.mul(q.y, p.z), z1z1)
@@ -142,7 +159,7 @@ def madd(p: G1Jac, q: G1Aff) -> G1Jac:
     y3 = f.sub(f.mul(rr, f.sub(v, x3)), f.add(yj, yj))
     z3 = f.sub(f.sub(f.square(f.add(p.z, h)), z1z1), hh)
     same = f.is_zero(h) & f.is_zero(rr)
-    dp = dbl(p)
+    dp = _dbl_impl(f, p)
     x3 = f.select(same, dp.x, x3)
     y3 = f.select(same, dp.y, y3)
     z3 = f.select(same, dp.z, z3)
@@ -156,6 +173,10 @@ def madd(p: G1Jac, q: G1Aff) -> G1Jac:
     y3 = f.select(q.inf, p.y, y3)
     z3 = f.select(q.inf, p.z, z3)
     return G1Jac(x3, y3, z3)
+
+
+def madd(p: G1Jac, q: G1Aff) -> G1Jac:
+    return _madd_impl(FP, p, q)
 
 
 @jax.jit
@@ -232,19 +253,46 @@ def _flatten_batch(a):
     return a.reshape(a.shape[0], -1)
 
 
-def _unflatten(a, shape):
-    return a.reshape(shape)
+# Narrow batches are padded up to one Pallas tile: a one-tile kernel launch
+# is ~30us while the unfused jnp chain is ~1ms of HBM round-trips, so the
+# fused path wins at every width.  What IS expensive is each *distinct
+# shape* (seconds of trace+Mosaic-lowering per instantiation) — callers
+# keep the set of shapes small and reuse them (see scan_sum).
+_PALLAS_MIN_WIDTH = 1
+
+
+def _batch_width(a) -> int:
+    n = 1
+    for d in a.shape[1:]:
+        n *= d
+    return n
 
 
 def madd_fast(p: G1Jac, q: G1Aff) -> G1Jac:
-    """madd, routed through the fused Pallas kernel on TPU backends."""
+    """madd, routed through the fused Pallas kernel on TPU backends.
+
+    The Pallas kernel is the *incomplete* (collision-flagged) variant: the
+    doubling path is omitted (~35% fewer ops) and any same-point collision
+    lane raises a flag; `lax.cond` re-runs the cheap-to-trace jnp complete
+    formula in that (cryptographically unreachable for honest SRS inputs,
+    but exactly handled) case.
+    """
     from . import pallas_curve as pc
 
-    if pc.enabled():
+    if pc.enabled() and _batch_width(p.x) >= _PALLAS_MIN_WIDTH:
         shape = p.x.shape
-        ox, oy, oz = pc.madd_checked(
+        ox, oy, oz, fl = pc.madd_inc(
             _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z),
-            _flatten_batch(q.x), _flatten_batch(q.y), jnp.atleast_1d(q.inf).reshape(-1),
+            _flatten_batch(q.x), _flatten_batch(q.y),
+            jnp.atleast_1d(q.inf).reshape(-1),
+        )
+
+        def slow(_):
+            r = _madd_impl(FP_COMPACT, p, q)
+            return _flatten_batch(r.x), _flatten_batch(r.y), _flatten_batch(r.z)
+
+        ox, oy, oz = jax.lax.cond(
+            jnp.any(fl > 0), slow, lambda _: (ox, oy, oz), operand=None
         )
         return G1Jac(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
     return madd(p, q)
@@ -253,11 +301,19 @@ def madd_fast(p: G1Jac, q: G1Aff) -> G1Jac:
 def add_fast(p: G1Jac, q: G1Jac) -> G1Jac:
     from . import pallas_curve as pc
 
-    if pc.enabled():
+    if pc.enabled() and _batch_width(p.x) >= _PALLAS_MIN_WIDTH:
         shape = p.x.shape
-        ox, oy, oz = pc.add_checked(
+        ox, oy, oz, fl = pc.add_inc(
             _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z),
             _flatten_batch(q.x), _flatten_batch(q.y), _flatten_batch(q.z),
+        )
+
+        def slow(_):
+            r = _add_impl(FP_COMPACT, p, q)
+            return _flatten_batch(r.x), _flatten_batch(r.y), _flatten_batch(r.z)
+
+        ox, oy, oz = jax.lax.cond(
+            jnp.any(fl > 0), slow, lambda _: (ox, oy, oz), operand=None
         )
         return G1Jac(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
     return add(p, q)
@@ -266,7 +322,7 @@ def add_fast(p: G1Jac, q: G1Jac) -> G1Jac:
 def dbl_fast(p: G1Jac) -> G1Jac:
     from . import pallas_curve as pc
 
-    if pc.enabled():
+    if pc.enabled() and _batch_width(p.x) >= _PALLAS_MIN_WIDTH:
         shape = p.x.shape
         ox, oy, oz = pc.dbl(
             _flatten_batch(p.x), _flatten_batch(p.y), _flatten_batch(p.z)
@@ -275,12 +331,81 @@ def dbl_fast(p: G1Jac) -> G1Jac:
     return dbl(p)
 
 
-def tree_sum_fast(p: G1Jac) -> G1Jac:
-    """tree_sum using the fused add kernel for the wide levels."""
+def _pad_last(p: G1Jac, pad: int) -> G1Jac:
+    """Append `pad` identity lanes along the last axis."""
+    shape = p.x.shape[:-1] + (pad,)
+    z = jnp.zeros(shape, jnp.uint32)
+    return G1Jac(
+        jnp.concatenate([p.x, z], axis=-1),
+        jnp.concatenate([p.y, z], axis=-1),
+        jnp.concatenate([p.z, z], axis=-1),
+    )
+
+
+def scan_sum(p: G1Jac, width: int) -> G1Jac:
+    """Reduce the last axis [..., W] -> [..., width] by scan-accumulating
+    W/width contiguous chunks.
+
+    Unlike a halving tree (log W *distinct shapes*, each re-instantiating
+    the fused Pallas kernels at seconds of trace+Mosaic-lowering cost
+    apiece), this folds the axis as [S, ..., width] under `lax.scan`, so
+    the point add is traced and lowered exactly once.  W is padded up to
+    a multiple of `width` with identity lanes.
+    """
     n = p.x.shape[-1]
+    if n <= width:
+        return p
+    pad = (-n) % width
+    if pad:
+        p = _pad_last(p, pad)
+        n += pad
+    steps = n // width
+
+    def reshape(a):
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (steps, width)), -2, 0)
+
+    sx, sy, sz = reshape(p.x), reshape(p.y), reshape(p.z)
+    init = G1Jac(
+        jnp.zeros(sx.shape[1:], jnp.uint32),
+        jnp.zeros(sx.shape[1:], jnp.uint32),
+        jnp.zeros(sx.shape[1:], jnp.uint32),
+    )
+
+    def body(acc, chunk):
+        return add_fast(acc, G1Jac(*chunk)), None
+
+    acc, _ = jax.lax.scan(body, init, (sx, sy, sz))
+    return acc
+
+
+def tree_sum_fast(p: G1Jac, stop: int = 1) -> G1Jac:
+    """Reduce the last axis of a [..., n] point batch to [..., stop].
+
+    scan_sum stages (1024/32/1, cut at `stop`): each is one fused-add
+    instantiation at a fixed shape, versus log2(n) distinct shapes for a
+    halving tree.  Callers that can consume a residual lane axis pass
+    stop=32 and fold it later (fold_small) — the 32->1 stage is the one
+    with no batch parallelism left.
+    """
+    for width in (1024, 32, 1):
+        if width >= stop:
+            p = scan_sum(p, width)
+    return p
+
+
+def fold_small(p: G1Jac) -> G1Jac:
+    """Halving-tree reduce of a small last axis (<= ~32 lanes) to [..., 1]
+    using the compact complete-add formulas: correctness path, off the
+    hot loop, traced small."""
+    n = p.x.shape[-1]
+    pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    if pow2 != n:
+        p = _pad_last(p, pow2 - n)
+        n = pow2
     while n > 1:
         half = n // 2
-        p = add_fast(
+        p = _add_impl(
+            FP_COMPACT,
             G1Jac(p.x[..., :half], p.y[..., :half], p.z[..., :half]),
             G1Jac(p.x[..., half:], p.y[..., half:], p.z[..., half:]),
         )

@@ -78,6 +78,11 @@ class Field:
         # but Mosaic rejects pad; Pallas kernel views flip this to
         # concatenate (see with_consts).
         self.emb_concat = False
+        # Force the rolled (fori_loop) formulation regardless of backend:
+        # used for rarely-executed fallback branches on TPU, where the
+        # wide unrolled formulation would add tens of MB of executable
+        # for code that runs ~never (see curve.FP_COMPACT).
+        self.force_rolled = False
 
     # -- helpers -----------------------------------------------------------
 
@@ -121,6 +126,8 @@ class Field:
         """
         if self.emb_concat:
             return True
+        if self.force_rolled:
+            return False
         try:
             return jax.default_backend() != "cpu"
         except Exception:

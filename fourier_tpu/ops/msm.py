@@ -91,41 +91,68 @@ def _bucket_accumulate(points: G1Aff, digits, n_buckets: int) -> G1Jac:
     return acc
 
 
-def _weighted_bucket_sum(buckets: G1Jac, n_buckets: int) -> G1Jac:
-    """sum_b b * buckets[b] via bit decomposition of the bucket index:
+def _bit_partial_sums(buckets: G1Jac, c: int) -> G1Jac:
+    """[L, B] buckets -> [L, c, R] bit partial sums with R <= 32 residual
+    lanes per bit: summing lanes over R gives S_j = sum_{b: bit j set} B_b.
 
-        sum_b b*B_b = sum_j 2^j * (sum_{b: bit j of b} B_b)
+    Based on the bucket-index bit decomposition
 
-    All c masked partial sums are computed in ONE batched tree reduction
-    of width c * n_buckets (masked-out lanes become the identity by
-    zeroing z), so the sequential depth is c (tree levels) + c (the
-    doubling/Horner combine) — wide, fused steps instead of the CPU-style
-    serial running sum over all buckets."""
-    c = n_buckets.bit_length() - 1
-    if c == 0:
-        return G1Jac(buckets.x[..., 0], buckets.y[..., 0], buckets.z[..., 0])
+        sum_b b*B_b = sum_j 2^j * S_j
+
+    — the weighted bucket sum becomes c masked reductions (masked-out
+    lanes become the identity by zeroing z), all batched along a `c`
+    axis and folded with fixed-shape scans (cv.scan_sum) so the fused
+    Pallas add is instantiated at only two shapes regardless of B.  The
+    last R lanes are deliberately NOT reduced here: that stage has no
+    batch parallelism left, so it rides along the Horner combine
+    (_horner_2k runs R independent chains) and is folded once at the
+    very end."""
+    n_buckets = buckets.x.shape[-1]
+    c_eff = max(c, 1)
     idx = np.arange(n_buckets)
-    masks = np.stack([(idx >> j) & 1 for j in range(c)]).astype(bool)  # [c, B]
+    masks = np.stack([(idx >> j) & 1 for j in range(c_eff)]).astype(bool)
 
-    bx = jnp.broadcast_to(buckets.x[:, None, :], (FP_LIMBS, c, n_buckets))
-    by = jnp.broadcast_to(buckets.y[:, None, :], (FP_LIMBS, c, n_buckets))
+    bx = jnp.broadcast_to(buckets.x[:, None, :], (FP_LIMBS, c_eff, n_buckets))
+    by = jnp.broadcast_to(buckets.y[:, None, :], (FP_LIMBS, c_eff, n_buckets))
     bz = jnp.where(masks[None], buckets.z[:, None, :], 0)  # z=0 -> identity
-    partial = cv.tree_sum_fast(G1Jac(bx, by, bz))               # [L, c, 1]
-    sx = partial.x[..., 0]
-    sy = partial.y[..., 0]
-    sz = partial.z[..., 0]
+    return cv.tree_sum_fast(G1Jac(bx, by, bz), stop=32)    # [L, c, R]
 
-    # Horner over bits, high to low: acc = 2*acc + S_j
-    def step(acc, s_j):
-        return cv.add_fast(cv.dbl_fast(acc), G1Jac(*s_j)), None
 
-    seq = (
-        jnp.moveaxis(sx, -1, 0)[::-1],
-        jnp.moveaxis(sy, -1, 0)[::-1],
-        jnp.moveaxis(sz, -1, 0)[::-1],
-    )
-    acc, _ = jax.lax.scan(step, cv.jac_identity(()), seq)
-    return acc
+def _horner_2k(terms: G1Jac) -> G1Jac:
+    """sum over k and r of 2^k * terms[:, k, r] for [L, K, R] Jacobian
+    terms (R independent residual lanes per term); returns the scalar
+    point ([L] coordinates).
+
+    acc = 2*acc + T_k, high k to low — but the accumulator keeps R lanes
+    (sum swap: sum_k 2^k sum_r T_kr == sum_r sum_k 2^k T_kr), so the
+    sequential chain still fills R vector lanes.  On TPU the whole chain
+    runs as ONE fused Pallas grid with the accumulator resident in VMEM
+    (pallas_curve.horner_2k); on CPU it is a lax.scan of jnp point ops.
+    The final R-lane fold uses the compact complete-add tree."""
+    from . import pallas_curve as pc
+
+    L, K, R = terms.x.shape
+    if pc.enabled():
+        ox, oy, oz = pc.horner_2k(
+            terms.x.reshape(L, K * R),
+            terms.y.reshape(L, K * R),
+            terms.z.reshape(L, K * R),
+            width=R,
+        )
+        res = G1Jac(ox, oy, oz)  # [L, R]
+    else:
+        seq = (
+            jnp.moveaxis(terms.x, -2, 0)[::-1],
+            jnp.moveaxis(terms.y, -2, 0)[::-1],
+            jnp.moveaxis(terms.z, -2, 0)[::-1],
+        )
+
+        def step(acc, t_k):
+            return cv.add_fast(cv.dbl_fast(acc), G1Jac(*t_k)), None
+
+        res, _ = jax.lax.scan(step, cv.jac_identity((R,)), seq)
+    out = cv.fold_small(res)
+    return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
 
 
 def _auto_window(n: int) -> int:
@@ -152,20 +179,20 @@ def msm(points: G1Aff, scalars, c: int = 0) -> G1Jac:
 
     def per_window(_, digits):
         buckets = _bucket_accumulate(points, digits, n_buckets)
-        wsum = _weighted_bucket_sum(buckets, n_buckets)
-        return None, (wsum.x, wsum.y, wsum.z)
+        s = _bit_partial_sums(buckets, c)  # [L, c, R]
+        return None, (s.x, s.y, s.z)
 
-    _, (wx, wy, wz) = jax.lax.scan(per_window, None, digits_all)  # [W, L]
+    _, (sx, sy, sz) = jax.lax.scan(per_window, None, digits_all)  # [W, L, c, R]
 
-    # combine windows from the top down: c doublings then add
-    def step(acc, wpt):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: cv.dbl_fast(a), acc)
-        return cv.add_fast(acc, G1Jac(*wpt)), None
+    # Every (window w, bit j) partial carries weight 2^(c*w + j), and the
+    # exponents c*w + j are pairwise distinct — so the whole combine is a
+    # single binary Horner over K = W*c terms ordered by k.
+    r = sx.shape[-1]
 
-    acc, _ = jax.lax.scan(
-        step, cv.jac_identity(()), (wx[::-1], wy[::-1], wz[::-1])
-    )
-    return acc
+    def to_terms(a):  # [W, L, c, R] -> [L, K, R], term k = c*w + j
+        return jnp.moveaxis(a, 0, 1).reshape(FP_LIMBS, n_windows * c, r)
+
+    return _horner_2k(G1Jac(to_terms(sx), to_terms(sy), to_terms(sz)))
 
 
 @jax.jit
@@ -193,15 +220,6 @@ def msm_naive(points: G1Aff, scalars) -> G1Jac:
         return acc, cv.dbl_fast(base)
 
     acc, _ = jax.lax.fori_loop(0, FR_LIMBS * LIMB_BITS, body, (acc, base))
-    # pad to a power of two for the tree reduction
-    pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
-    if pow2 != n:
-        pad = cv.jac_identity((pow2 - n,))
-        acc = G1Jac(
-            jnp.concatenate([acc.x, pad.x], axis=-1),
-            jnp.concatenate([acc.y, pad.y], axis=-1),
-            jnp.concatenate([acc.z, pad.z], axis=-1),
-        )
     out = cv.tree_sum_fast(acc)
     return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
 
@@ -317,4 +335,5 @@ def msm_bgmw(table: G1Aff, scalars, c: int) -> G1Jac:
     n_windows = table.x.shape[-1] // n
     digits = _all_window_digits(scalars, c, n_windows).reshape(-1)  # [W*n]
     buckets = _bucket_accumulate(table, digits, n_buckets)
-    return _weighted_bucket_sum(buckets, n_buckets)
+    s = _bit_partial_sums(buckets, c)  # [L, c, R]
+    return _horner_2k(s)

@@ -238,6 +238,78 @@ def dbl(p_x, p_y, p_z):
     return ox, oy, oz
 
 
+@functools.partial(jax.jit, static_argnames=("width",))
+def horner_2k(tx, ty, tz, width: int = 1):
+    """sum_k 2^k * T_k over Jacobian terms T, as ONE kernel.
+
+    Inputs are [L, K*width]: K terms laid out contiguously along the
+    last axis, each `width` lanes wide (independent residual lanes that
+    the caller folds afterwards — see msm._horner_2k).  Grid step i
+    processes term k = K-1-i with acc = 2*acc + T_k, the accumulator
+    living in the revisited [L, width] output block (VMEM-resident).
+
+    The combine chain is inherently sequential (one accumulator), so as
+    individual Pallas launches it costs ~2K dispatches and two kernel
+    instantiations; as a single grid it is one instantiation and one
+    dispatch.  Uses the *complete* addition formulas — bucket partial
+    sums are arbitrary group elements, so same-point/identity cases are
+    legal here (unlike the DLOG-guarded accumulation fast path).
+    """
+    L, KW = tx.shape
+    K = KW // width
+
+    def kernel(consts, bx, by, bz, ox, oy, oz):
+        f = with_consts(FP, consts[...])
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            ox[...] = bx[...]
+            oy[...] = by[...]
+            oz[...] = bz[...]
+
+        @pl.when(i > 0)
+        def _step():
+            ax = jnp.squeeze(ox[...], axis=0)
+            ay = jnp.squeeze(oy[...], axis=0)
+            az = jnp.squeeze(oz[...], axis=0)
+            dx, dy, dz = _dbl_values(f, ax, ay, az)
+            rx, ry, rz = _add_values(
+                f, dx, dy, dz,
+                jnp.squeeze(bx[...], axis=0),
+                jnp.squeeze(by[...], axis=0),
+                jnp.squeeze(bz[...], axis=0),
+            )
+            ox[...] = rx[None]
+            oy[...] = ry[None]
+            oz[...] = rz[None]
+
+    # [K, L, width] layout: block (1, L, width) — the trailing block dims
+    # equal the array dims exactly, satisfying Mosaic's (8, 128) tiling
+    # rule for any width (32-lane residuals included).
+    def to_klw(a):
+        return jnp.moveaxis(a.reshape(L, K, width), 0, 1)
+
+    t_spec = pl.BlockSpec(
+        (1, L, width), lambda i: (K - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (1, L, width), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    consts_spec = pl.BlockSpec(
+        _FP_CONSTS.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = jax.ShapeDtypeStruct((1, L, width), jnp.uint32)
+    ox, oy, oz = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[consts_spec, t_spec, t_spec, t_spec],
+        out_specs=(o_spec, o_spec, o_spec),
+        out_shape=(out, out, out),
+    )(jnp.asarray(_FP_CONSTS), to_klw(tx), to_klw(ty), to_klw(tz))
+    return ox[0], oy[0], oz[0]
+
+
 def enabled() -> bool:
     """Use Pallas kernels on TPU backends unless explicitly disabled."""
     flag = os.environ.get("FOURIER_PALLAS", "auto")
@@ -379,13 +451,25 @@ def _grid_call_flagged(kernel, *arrs):
     )
 
 
+def madd_inc(p_x, p_y, p_z, q_x, q_y, q_inf):
+    """Incomplete fast madd on [L, B]: returns (x, y, z, flag[1, B]).
+
+    flag lanes are nonzero where the omitted doubling path would have been
+    needed; callers must fall back to a complete formula when any flag is
+    set (curve.madd_fast does this under `lax.cond`)."""
+    inf_row = q_inf[None].astype(jnp.uint32)
+    return _grid_call_flagged(_madd_inc_kernel, p_x, p_y, p_z, q_x, q_y, inf_row)
+
+
+def add_inc(p_x, p_y, p_z, q_x, q_y, q_z):
+    """Incomplete fast Jacobian add; same flag contract as madd_inc."""
+    return _grid_call_flagged(_add_inc_kernel, p_x, p_y, p_z, q_x, q_y, q_z)
+
+
 @jax.jit
 def madd_checked(p_x, p_y, p_z, q_x, q_y, q_inf):
     """Incomplete fast madd with exact-fallback on collision lanes."""
-    inf_row = q_inf[None].astype(jnp.uint32)
-    ox, oy, oz, fl = _grid_call_flagged(
-        _madd_inc_kernel, p_x, p_y, p_z, q_x, q_y, inf_row
-    )
+    ox, oy, oz, fl = madd_inc(p_x, p_y, p_z, q_x, q_y, q_inf)
 
     def slow(_):
         return madd(p_x, p_y, p_z, q_x, q_y, q_inf)
