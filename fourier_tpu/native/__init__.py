@@ -8,6 +8,7 @@ without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -18,15 +19,26 @@ logger = logging.getLogger("fourier_tpu")
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "fastwire.cpp")
-_LIB_PATH = os.path.join(_HERE, "libfastwire.so")
 
 _lib = None
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    """Shared-library path keyed on a content hash of the C++ source.
+
+    Binaries are never committed (gitignored); a source edit changes the
+    hash, so a stale build can never serve requests — unlike an mtime
+    comparison, which git checkouts do not preserve.
+    """
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"libfastwire-{digest}.so")
+
+
+def _build(lib_path: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, _SRC],
             check=True,
             capture_output=True,
         )
@@ -41,12 +53,13 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib or None
-    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
-        if not _build():
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
+        if not _build(lib_path):
             _lib = False
             return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(lib_path)
         lib.fw_b64decode_many.restype = ctypes.c_int64
         lib.fw_decode_scalars.restype = ctypes.c_int64
         _lib = lib

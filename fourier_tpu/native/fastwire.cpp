@@ -25,17 +25,19 @@ struct TableInit {
     }
 } table_init;
 
-// Decode one base64 string (padded or unpadded) into exactly out_len bytes.
+// Decode one STRICT unpadded base64 string into exactly out_len bytes.
+// Matches the reference's STANDARD_NO_PAD engine: '=' padding, invalid
+// symbols, and nonzero unused trailing bits in the last symbol are all
+// rejected, so each byte string has exactly one accepted encoding.
 // Returns 0 on success.
 int decode_one(const char* s, int64_t len, uint8_t* out, int64_t out_len) {
-    while (len > 0 && s[len - 1] == '=') len--;
-    if ((len * 3) / 4 != out_len) return 1;
+    if ((len * 3) / 4 != out_len || len % 4 == 1) return 1;
     int64_t oi = 0;
     uint32_t buf = 0;
     int bits = 0;
     for (int64_t i = 0; i < len; i++) {
         int8_t v = DECODE_TABLE[(uint8_t)s[i]];
-        if (v < 0) return 2;
+        if (v < 0) return 2;  // includes '=' (never in the table)
         buf = (buf << 6) | (uint32_t)v;
         bits += 6;
         if (bits >= 8) {
@@ -43,6 +45,7 @@ int decode_one(const char* s, int64_t len, uint8_t* out, int64_t out_len) {
             out[oi++] = (uint8_t)(buf >> bits);
         }
     }
+    if (bits > 0 && (buf & ((1u << bits) - 1)) != 0) return 4;
     return oi == out_len ? 0 : 3;
 }
 

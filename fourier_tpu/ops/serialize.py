@@ -92,6 +92,10 @@ def g1_decode_batch(data: bytes, compressed: bool, check_curve: bool = True) -> 
     else:
         if has_comp.any():
             raise ValueError("compressed bit set on uncompressed encoding")
+        if sign.any():
+            # blst_p1_deserialize: the sign bit is only meaningful with the
+            # compressed bit; set alone it is BLST_BAD_ENCODING.
+            raise ValueError("sign bit set on uncompressed encoding")
     rows[:, 0] &= 0x1F
     # infinity rows must be all-zero beyond the flags
     if inf.any():

@@ -39,8 +39,22 @@ def b64_encode(raw: bytes) -> str:
 
 
 def b64_decode(s: str) -> bytes:
+    """Strict STANDARD_NO_PAD decode, matching the reference engine.
+
+    The reference's base64::STANDARD_NO_PAD rejects '=' padding, invalid
+    symbols, and nonzero unused trailing bits in the final symbol — every
+    byte string has exactly ONE accepted encoding (no wire malleability).
+    """
+    if "=" in s:
+        raise ValueError("base64 padding is not accepted")
     pad = -len(s) % 4
-    return base64.b64decode(s + "=" * pad)
+    if pad == 3:
+        raise ValueError("invalid base64 length")
+    out = base64.b64decode(s + "=" * pad, validate=True)
+    # trailing-bit check: re-encoding must reproduce the input exactly
+    if base64.b64encode(out).decode().rstrip("=") != s:
+        raise ValueError("non-canonical base64 (trailing bits set)")
+    return out
 
 
 def parse_request(body: bytes | str):
