@@ -38,3 +38,49 @@ class BivariatePolynomial:
                 out[j] = (out[j] + ypow * c) % R
             ypow = ypow * y % R
         return out
+
+    # algebra surface of the reference (bipoly.rs:36-124) -------------------
+
+    @staticmethod
+    def zero() -> "BivariatePolynomial":
+        return BivariatePolynomial([[0]])
+
+    def add(self, other: "BivariatePolynomial") -> "BivariatePolynomial":
+        """Coefficient-wise sum; sizes may differ."""
+        height = max(len(self.rows), len(other.rows))
+        width = max(
+            max((len(r) for r in self.rows), default=0),
+            max((len(r) for r in other.rows), default=0),
+        )
+        out = [[0] * width for _ in range(height)]
+        for src in (self.rows, other.rows):
+            for i, row in enumerate(src):
+                for j, c in enumerate(row):
+                    out[i][j] = (out[i][j] + c) % R
+        return BivariatePolynomial(out)
+
+    def mul(self, other: "BivariatePolynomial") -> "BivariatePolynomial":
+        """Full product: degrees add in both variables."""
+        h = len(self.rows) + len(other.rows) - 1
+        w = (
+            max(len(r) for r in self.rows)
+            + max(len(r) for r in other.rows)
+            - 1
+        )
+        out = [[0] * w for _ in range(h)]
+        for i1, r1 in enumerate(self.rows):
+            for i2, r2 in enumerate(other.rows):
+                for j1, c1 in enumerate(r1):
+                    if not c1:
+                        continue
+                    for j2, c2 in enumerate(r2):
+                        out[i1 + i2][j1 + j2] = (
+                            out[i1 + i2][j1 + j2] + c1 * c2
+                        ) % R
+        return BivariatePolynomial(out)
+
+    def scale(self, k: int) -> "BivariatePolynomial":
+        """k * f for a scalar k."""
+        return BivariatePolynomial(
+            [[c * k % R for c in row] for row in self.rows]
+        )

@@ -460,14 +460,24 @@ def packed_consts(field: Field) -> np.ndarray:
     return np.stack([getattr(field, n) for n in _CONST_FIELDS])
 
 
-def with_consts(field: Field, packed) -> Field:
+def with_consts(field: Field, packed, rolled: bool = False) -> Field:
     """A shallow view of `field` whose constants are rows of `packed`
     (traced values inside a kernel).  Only the non-jitted method internals
-    may be used on the view."""
+    may be used on the view.
+
+    rolled=True switches the view to the small-graph fori_loop
+    formulation — used when a kernel runs under the Pallas *interpreter*
+    (tests), where the wide formulation's giant HLO graph makes CPU XLA
+    compiles pathological (~8 min per kernel).  The wide formulas
+    themselves are covered bit-exactly by test_field_ops.
+    """
     import copy
 
     fv = copy.copy(field)
     for i, n in enumerate(_CONST_FIELDS):
         setattr(fv, n, jax.lax.index_in_dim(packed, i, axis=0, keepdims=False))
-    fv.emb_concat = True  # Mosaic kernels cannot lower jnp.pad
+    if rolled:
+        fv.force_rolled = True  # interpreter: jnp.pad etc. are all legal
+    else:
+        fv.emb_concat = True  # Mosaic kernels cannot lower jnp.pad
     return fv

@@ -37,6 +37,18 @@ _FP_CONSTS = packed_consts(FP)  # [6, L] kernel operand (Mosaic rejects
 TILE = 1024
 
 
+def interpret() -> bool:
+    """Run kernels through the Pallas interpreter (jax-op emulation).
+
+    The CI/test path: Mosaic cannot lower on CPU, but the interpreter
+    executes the identical kernel bodies with plain jax ops, so the
+    fused kernels (including the collision-flag contract) are testable
+    in the CPU suite.  Enabled with FOURIER_PALLAS_INTERPRET=1 together
+    with FOURIER_PALLAS=1; never used on real TPU runs.
+    """
+    return os.environ.get("FOURIER_PALLAS_INTERPRET", "0") == "1"
+
+
 def _pad_to_tile(arrs, batch: int):
     pad = (-batch) % TILE
     if pad == 0:
@@ -78,6 +90,7 @@ def _grid_call(kernel, n_out: int, *arrs):
         in_specs=[consts_spec] + [spec(a) for a in arrs],
         out_specs=out_specs if n_out > 1 else out_specs[0],
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
+        interpret=interpret(),
     )(jnp.asarray(_FP_CONSTS), *arrs)
     if n_out == 1:
         outs = (outs,)
@@ -183,7 +196,7 @@ def _add_values(f, x1, y1, z1, x2, y2, z2):
 
 
 def _madd_kernel(consts, x1, y1, z1, x2, y2, inf2, ox, oy, oz):
-    f = with_consts(FP, consts[...])
+    f = with_consts(FP, consts[...], rolled=interpret())
     rx, ry, rz = _madd_values(
         f,
         x1[...],
@@ -199,7 +212,7 @@ def _madd_kernel(consts, x1, y1, z1, x2, y2, inf2, ox, oy, oz):
 
 
 def _add_kernel(consts, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-    f = with_consts(FP, consts[...])
+    f = with_consts(FP, consts[...], rolled=interpret())
     rx, ry, rz = _add_values(
         f, x1[...], y1[...], z1[...], x2[...], y2[...], z2[...]
     )
@@ -209,7 +222,7 @@ def _add_kernel(consts, x1, y1, z1, x2, y2, z2, ox, oy, oz):
 
 
 def _dbl_kernel(consts, x1, y1, z1, ox, oy, oz):
-    f = with_consts(FP, consts[...])
+    f = with_consts(FP, consts[...], rolled=interpret())
     rx, ry, rz = _dbl_values(f, x1[...], y1[...], z1[...])
     ox[...] = rx
     oy[...] = ry
@@ -259,7 +272,7 @@ def horner_2k(tx, ty, tz, width: int = 1):
     K = KW // width
 
     def kernel(consts, bx, by, bz, ox, oy, oz):
-        f = with_consts(FP, consts[...])
+        f = with_consts(FP, consts[...], rolled=interpret())
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -306,6 +319,7 @@ def horner_2k(tx, ty, tz, width: int = 1):
         in_specs=[consts_spec, t_spec, t_spec, t_spec],
         out_specs=(o_spec, o_spec, o_spec),
         out_shape=(out, out, out),
+        interpret=interpret(),
     )(jnp.asarray(_FP_CONSTS), to_klw(tx), to_klw(ty), to_klw(tz))
     return ox[0], oy[0], oz[0]
 
@@ -365,7 +379,7 @@ def _madd_values_incomplete(f, x1, y1, z1, x2, y2, inf2):
 
 
 def _madd_inc_kernel(consts, x1, y1, z1, x2, y2, inf2, ox, oy, oz, oflag):
-    f = with_consts(FP, consts[...])
+    f = with_consts(FP, consts[...], rolled=interpret())
     rx, ry, rz, col = _madd_values_incomplete(
         f, x1[...], y1[...], z1[...], x2[...], y2[...],
         jnp.squeeze(inf2[...], axis=0).astype(bool),
@@ -407,7 +421,7 @@ def _add_values_incomplete(f, x1, y1, z1, x2, y2, z2):
 
 
 def _add_inc_kernel(consts, x1, y1, z1, x2, y2, z2, ox, oy, oz, oflag):
-    f = with_consts(FP, consts[...])
+    f = with_consts(FP, consts[...], rolled=interpret())
     rx, ry, rz, col = _add_values_incomplete(
         f, x1[...], y1[...], z1[...], x2[...], y2[...], z2[...]
     )
@@ -445,6 +459,7 @@ def _grid_call_flagged(kernel, *arrs):
         in_specs=[consts_spec] + [spec(a) for a in arrs],
         out_specs=(coord_spec, coord_spec, coord_spec, flag_spec),
         out_shape=(coord, coord, coord, flag),
+        interpret=interpret(),
     )(jnp.asarray(_FP_CONSTS), *arrs)
     return (
         ox[..., :batch], oy[..., :batch], oz[..., :batch], fl[..., :batch]

@@ -95,16 +95,33 @@ def _parse_poly_limbs(strs: list[str]) -> np.ndarray:
 
 
 class RpcHandler:
-    """Method dispatch (reference RpcHandler, src/rpc.rs:176-401)."""
+    """Method dispatch (reference RpcHandler, src/rpc.rs:176-401).
+
+    Locking is scoped per method class, so cheap host-side requests are
+    served concurrently (the reference spawns a tokio task per
+    connection, src/rpc.rs:502-509): device-dispatch methods share one
+    lock (one chip = one queue), RNG methods share a small lock for the
+    non-thread-safe generator, and pure host math (ping, evaluate,
+    verify, masterCommit) runs lock-free on read-only setup state.
+    """
+
+    _DEVICE_METHODS = frozenset({"fft", "workerCommit", "workerOpen", "masterOpen"})
+    _RNG_METHODS = frozenset({"randomPoly", "randomPoint"})
 
     def __init__(self, backend: PianoBackend):
         self.backend = backend
-        self._lock = threading.Lock()
+        self._device_lock = threading.Lock()
+        self._rng_lock = threading.Lock()
 
     def handle(self, method: str, params: dict) -> dict:
         fn = getattr(self, "_handle_" + method)
-        with self._lock:  # device work serialized, mirroring one-chip reality
-            return fn(params)
+        if method in self._DEVICE_METHODS:
+            with self._device_lock:
+                return fn(params)
+        if method in self._RNG_METHODS:
+            with self._rng_lock:
+                return fn(params)
+        return fn(params)
 
     # -- utils -------------------------------------------------------------
 
@@ -254,9 +271,15 @@ class Server:
             self.httpd.shutdown()
 
 
-def start_rpc_server(cfg: ServerConfig) -> None:
-    """Retry-forever loop (reference start_rpc_server, src/rpc.rs:514-521)."""
+def start_rpc_server(cfg: ServerConfig, on_server=None) -> None:
+    """Retry-forever loop (reference start_rpc_server, src/rpc.rs:514-521).
+
+    `on_server` (optional) receives the Server instance before it runs —
+    the handle a host embedding this loop needs to call shutdown().
+    """
     server = Server(cfg)
+    if on_server is not None:
+        on_server(server)
     while True:
         try:
             server.run()

@@ -103,7 +103,15 @@ def test_poly_reconstruction(rng):
     assert z == gt.eval(alpha, beta)
 
 
-@pytest.mark.parametrize("n,m", [(2, 1), (4, 2), (6, 2), (6, 5)])
+# n in 2..8 like the reference sweep (piano.rs:1604-1722); m covers both
+# edges (1 and n-1) for every n plus interior points — the full m
+# cross-product at every n adds compile shapes without new code paths.
+@pytest.mark.parametrize(
+    "n,m",
+    [(2, 1)]
+    + [(n, m) for n in range(3, 9) for m in (1, n - 1)]
+    + [(6, 2), (6, 3), (8, 4)],
+)
 def test_pianist(n, m, rng):
     """Full protocol sweep (pianist_test, reference piano.rs:1604-1722)."""
     backend = _make_backend(n, m)

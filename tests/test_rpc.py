@@ -205,3 +205,98 @@ def test_distributed_flow_over_http(servers, backend, rng):
         servers[0], "fft", {"poly": f1["poly"], "left": True, "inverse": False}
     )
     assert [fr_from_bytes(wire.b64_decode(s)) for s in f2["poly"]] == rows[0]
+
+
+def test_real_server_lifecycle(tmp_path, rng):
+    """M+1 real Server instances booted through start_rpc_server — the full
+    lifecycle (setup load at boot, listen, serve, shutdown), each server
+    with its OWN backend loaded from a shared setup file (the reference
+    integration test boots M+1 servers the same way, rpc.rs:760-988)."""
+    import socket
+
+    from fourier_tpu.models.piano import SetupConfig
+    from fourier_tpu.runtime import io as rio
+    from fourier_tpu.runtime.server import ServerConfig, start_rpc_server
+    from fourier_tpu.refimpl.field import fr_to_bytes
+
+    scale, mscale = 5, 1
+    m_count = 1 << mscale
+    fft = PianoFFTSettings(scale, mscale)
+    settings = generate_trusted_setup(fft, (b"\x05" * 32, b"\x06" * 32))
+    setup_file = str(tmp_path / "setup")
+    rio.save_setup(settings, setup_file, compressed=True)
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    ports = [free_port() for _ in range(m_count + 1)]
+    handles, threads = [], []
+    for port in ports:
+        cfg = ServerConfig(
+            host="127.0.0.1",
+            port=port,
+            backend=SetupConfig(
+                scale=scale,
+                machines_scale=mscale,
+                setup_path=setup_file,
+                generate_setup=False,
+                generate_precompute=True,
+            ),
+        )
+        t = threading.Thread(
+            target=start_rpc_server, args=(cfg, handles.append), daemon=True
+        )
+        t.start()
+        threads.append(t)
+
+    try:
+        import time as _time
+
+        deadline = _time.monotonic() + 120
+        for port in ports:
+            while True:
+                try:
+                    if _post(port, "ping") is None:
+                        break
+                except requests.ConnectionError:
+                    if _time.monotonic() > deadline:
+                        raise AssertionError(f"server on {port} never came up")
+                    _time.sleep(0.5)
+
+        def enc_fr(v):
+            return wire.b64_encode(fr_to_bytes(v))
+
+        rows = [[rng.randrange(R) for _ in range(fft.T)] for _ in range(m_count)]
+        alpha = rng.randrange(R)
+        for i in range(m_count):
+            enc_poly = [enc_fr(v) for v in rows[i]]
+            com = _post(ports[i], "workerCommit", {"i": i, "poly": enc_poly})[
+                "commitment"
+            ]
+            opened = _post(
+                ports[i], "workerOpen", {"i": i, "poly": enc_poly, "x": enc_fr(alpha)}
+            )
+            ver = _post(
+                ports[m_count],
+                "workerVerify",
+                {
+                    "i": i,
+                    "alpha": enc_fr(alpha),
+                    "proof": opened["proof"],
+                    "eval": opened["eval"],
+                    "commitment": com,
+                },
+            )
+            assert ver["valid"] is True
+        # all servers loaded the same setup: commitments must agree
+        com0 = _post(ports[0], "workerCommit", {"i": 0, "poly": [enc_fr(v) for v in rows[0]]})
+        com1 = _post(ports[1], "workerCommit", {"i": 0, "poly": [enc_fr(v) for v in rows[0]]})
+        assert com0 == com1
+    finally:
+        for h in handles:
+            h.shutdown()
+        for t in threads:
+            t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads)
