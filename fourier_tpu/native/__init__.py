@@ -1,8 +1,17 @@
-"""Native (C++) host-side marshalling kernels, loaded via ctypes.
+"""Native (C++) host-side kernels, loaded via ctypes.
 
-Builds lazily with g++ on first import if the shared library is missing;
-every entry point has a pure-numpy fallback so the framework works
-without a toolchain.
+Two translation units:
+- fastwire.cpp     — wire marshalling (base64, limb packing) with
+                     canonicality checking fused in.
+- fastpairing.cpp  — the BLS12-381 multi-pairing verify kernel (the
+                     architecture of the reference's blst FFI,
+                     reference src/engine/piano.rs:358-464).
+
+Each builds lazily with g++ on first use into a shared library whose
+filename is keyed on a content hash of its source — binaries are never
+committed, and a stale build can never serve requests (mtimes are not
+preserved by git checkouts).  Every entry point has a pure-Python
+fallback so the framework works without a toolchain.
 """
 
 from __future__ import annotations
@@ -18,56 +27,70 @@ import numpy as np
 logger = logging.getLogger("fourier_tpu")
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "fastwire.cpp")
 
-_lib = None
+_libs: dict[str, object] = {}
 
 
-def _lib_path() -> str:
-    """Shared-library path keyed on a content hash of the C++ source.
-
-    Binaries are never committed (gitignored); a source edit changes the
-    hash, so a stale build can never serve requests — unlike an mtime
-    comparison, which git checkouts do not preserve.
-    """
-    with open(_SRC, "rb") as fh:
+def _load(stem: str):
+    """Load (building if needed) lib<stem>-<srchash>.so, or None."""
+    if stem in _libs:
+        return _libs[stem] or None
+    src = os.path.join(_HERE, f"{stem}.cpp")
+    with open(src, "rb") as fh:
         digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-    return os.path.join(_HERE, f"libfastwire-{digest}.so")
-
-
-def _build(lib_path: str) -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, _SRC],
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except Exception as e:  # no toolchain / failed build -> numpy fallback
-        logger.debug("native build failed: %s", e)
-        return False
-
-
-def get_lib():
-    """The loaded library or None (fallback mode)."""
-    global _lib
-    if _lib is not None:
-        return _lib or None
-    lib_path = _lib_path()
+    lib_path = os.path.join(_HERE, f"lib{stem}-{digest}.so")
     if not os.path.exists(lib_path):
-        if not _build(lib_path):
-            _lib = False
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                check=True,
+                capture_output=True,
+            )
+        except Exception as e:  # no toolchain / failed build -> fallback
+            logger.debug("native build of %s failed: %s", stem, e)
+            _libs[stem] = False
             return None
     try:
         lib = ctypes.CDLL(lib_path)
+    except OSError as e:
+        logger.debug("native load of %s failed: %s", stem, e)
+        _libs[stem] = False
+        return None
+    _libs[stem] = lib
+    return lib
+
+
+def get_lib():
+    """The wire-marshalling library or None (fallback mode)."""
+    lib = _load("fastwire")
+    if lib is not None and not getattr(lib, "_fw_typed", False):
         lib.fw_b64decode_many.restype = ctypes.c_int64
         lib.fw_decode_scalars.restype = ctypes.c_int64
-        _lib = lib
-    except OSError as e:
-        logger.debug("native load failed: %s", e)
-        _lib = False
-        return None
-    return _lib or None
+        lib._fw_typed = True
+    return lib
+
+
+def get_pairing_lib():
+    """The pairing library or None (fallback to refimpl.pairing)."""
+    lib = _load("fastpairing")
+    if lib is not None and not getattr(lib, "_fp_typed", False):
+        # argtypes must be declared: ctypes passes bare Python ints as
+        # 32-bit c_int, leaving the high half of an int64_t parameter
+        # undefined on the C side.
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.fw_pairings_check.restype = ctypes.c_int
+        lib.fw_pairings_check.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.fw_pairing.restype = ctypes.c_int
+        lib.fw_pairing.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            u8p,
+        ]
+        lib._fp_typed = True
+    return lib
 
 
 def decode_scalars_b64(strs: list[str], modulus_be: bytes, n_limbs: int):
@@ -111,3 +134,74 @@ def encode_b64_batch(raw: np.ndarray) -> list[str]:
     )
     flat = out.tobytes().decode("ascii")
     return [flat[i * stride : (i + 1) * stride] for i in range(n)]
+
+
+# -- pairing entry points ----------------------------------------------------
+
+_P2_BE = None
+_HARD_BE = None
+
+
+def _exponents():
+    """The easy/hard final-exponentiation exponents, computed host-side
+    once (the C++ side has no multiprecision integers)."""
+    global _P2_BE, _HARD_BE
+    if _P2_BE is None:
+        from ..constants import P, R
+
+        p2 = P * P
+        hard = (P**4 - P**2 + 1) // R
+        _P2_BE = p2.to_bytes((p2.bit_length() + 7) // 8, "big")
+        _HARD_BE = hard.to_bytes((hard.bit_length() + 7) // 8, "big")
+    return _P2_BE, _HARD_BE
+
+
+def _enc_g1(pt) -> bytes:
+    if pt is None:
+        return bytes(96)
+    x, y = pt
+    return x.to_bytes(48, "big") + y.to_bytes(48, "big")
+
+
+def _enc_g2(pt) -> bytes:
+    if pt is None:
+        return bytes(192)
+    x, y = pt
+    return (
+        x.c0.to_bytes(48, "big") + x.c1.to_bytes(48, "big")
+        + y.c0.to_bytes(48, "big") + y.c1.to_bytes(48, "big")
+    )
+
+
+def pairings_check(pairs) -> bool | None:
+    """prod e(P_i, Q_i) == 1 for affine int/Fp2 points, or None when the
+    native path is unavailable or degenerate (caller uses refimpl)."""
+    lib = get_pairing_lib()
+    if lib is None:
+        return None
+    g1s = b"".join(_enc_g1(p) for p, _ in pairs)
+    g2s = b"".join(_enc_g2(q) for _, q in pairs)
+    p2, hard = _exponents()
+    rc = lib.fw_pairings_check(
+        g1s, g2s, len(pairs), p2, len(p2), hard, len(hard)
+    )
+    if rc < 0:
+        return None
+    return bool(rc)
+
+
+def pairing_value(p, q) -> list[int] | None:
+    """Full pairing e(P, Q) as 12 canonical Fp ints (test hook), or None."""
+    lib = get_pairing_lib()
+    if lib is None:
+        return None
+    p2, hard = _exponents()
+    out = np.zeros(12 * 48, np.uint8)
+    rc = lib.fw_pairing(
+        _enc_g1(p), _enc_g2(q), p2, len(p2), hard, len(hard),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    raw = out.tobytes()
+    return [int.from_bytes(raw[48 * k : 48 * (k + 1)], "big") for k in range(12)]

@@ -1,0 +1,661 @@
+// Native BLS12-381 pairing: the host-side verify kernel.
+//
+// The reference verifies through blst's C/assembly pairing FFI
+// (reference src/engine/piano.rs:358-464); this is the same architecture
+// for this framework — a native multi-pairing product check behind a
+// small C ABI, consumed via ctypes.  The algorithm mirrors
+// fourier_tpu/refimpl/pairing.py exactly (untwist to E(Fp12), affine
+// Miller loop, easy/hard final exponentiation), so the Python
+// implementation remains the line-by-line ground truth; tests pin
+// accept/reject parity and pairing-value equality between the two.
+//
+// Fp is 6 x uint64 in Montgomery form with __uint128 CIOS multiplication.
+// Big exponents (p^2 for the easy part, (p^4 - p^2 + 1)/r for the hard
+// part) are passed in from Python as big-endian byte strings so no
+// multiprecision integer machinery is needed here.
+//
+// C ABI only.  Build: g++ -O3 -shared -fPIC (see native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+typedef unsigned __int128 u128;
+
+// ---------------------------------------------------------------------------
+// Fp: 6x64 Montgomery
+// ---------------------------------------------------------------------------
+
+static const uint64_t MOD[6] = {
+    0xb9feffffffffaaabULL, 0x1eabfffeb153ffffULL, 0x6730d2a0f6b0f624ULL,
+    0x64774b84f38512bfULL, 0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL,
+};
+static const uint64_t N0INV = 0x89f3fffcfffcfffdULL;  // -p^-1 mod 2^64
+
+struct Fp {
+    uint64_t v[6];
+};
+
+static Fp FP_ZERO;     // all zero
+static Fp FP_ONE;      // R mod p (Montgomery one), set in init
+static Fp FP_R2;       // R^2 mod p, set in init
+static Fp FP_THREE;    // 3 in Montgomery form
+
+inline bool fp_is_zero(const Fp& a) {
+    uint64_t acc = 0;
+    for (int i = 0; i < 6; i++) acc |= a.v[i];
+    return acc == 0;
+}
+
+inline bool fp_eq(const Fp& a, const Fp& b) {
+    uint64_t acc = 0;
+    for (int i = 0; i < 6; i++) acc |= a.v[i] ^ b.v[i];
+    return acc == 0;
+}
+
+inline void fp_sub_mod_if_ge(Fp& a) {
+    // subtract p if a >= p
+    uint64_t t[6];
+    unsigned borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a.v[i] - MOD[i] - borrow;
+        t[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;  // wrapped -> borrow
+    }
+    if (!borrow) memcpy(a.v, t, sizeof(t));
+}
+
+inline void fp_add(Fp& o, const Fp& a, const Fp& b) {
+    unsigned carry = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)a.v[i] + b.v[i] + carry;
+        o.v[i] = (uint64_t)s;
+        carry = (unsigned)(s >> 64);
+    }
+    fp_sub_mod_if_ge(o);
+}
+
+inline void fp_sub(Fp& o, const Fp& a, const Fp& b) {
+    unsigned borrow = 0;
+    uint64_t t[6];
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a.v[i] - b.v[i] - borrow;
+        t[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        unsigned carry = 0;
+        for (int i = 0; i < 6; i++) {
+            u128 s = (u128)t[i] + MOD[i] + carry;
+            t[i] = (uint64_t)s;
+            carry = (unsigned)(s >> 64);
+        }
+    }
+    memcpy(o.v, t, sizeof(t));
+}
+
+inline void fp_neg(Fp& o, const Fp& a) {
+    if (fp_is_zero(a)) { o = a; return; }
+    unsigned borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)MOD[i] - a.v[i] - borrow;
+        o.v[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+// CIOS Montgomery multiplication
+inline void fp_mul(Fp& o, const Fp& a, const Fp& b) {
+    uint64_t t[8] = {0};
+    for (int i = 0; i < 6; i++) {
+        u128 carry = 0;
+        uint64_t ai = a.v[i];
+        for (int j = 0; j < 6; j++) {
+            u128 s = (u128)ai * b.v[j] + t[j] + (uint64_t)carry;
+            t[j] = (uint64_t)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[6] + (uint64_t)carry;
+        t[6] = (uint64_t)s;
+        t[7] = (uint64_t)(s >> 64);
+
+        uint64_t m = t[0] * N0INV;
+        carry = 0;
+        u128 s0 = (u128)m * MOD[0] + t[0];
+        carry = s0 >> 64;
+        for (int j = 1; j < 6; j++) {
+            u128 s2 = (u128)m * MOD[j] + t[j] + (uint64_t)carry;
+            t[j - 1] = (uint64_t)s2;
+            carry = s2 >> 64;
+        }
+        u128 s3 = (u128)t[6] + (uint64_t)carry;
+        t[5] = (uint64_t)s3;
+        t[6] = t[7] + (uint64_t)(s3 >> 64);
+        t[7] = 0;
+    }
+    memcpy(o.v, t, 6 * sizeof(uint64_t));
+    fp_sub_mod_if_ge(o);
+}
+
+inline void fp_sqr(Fp& o, const Fp& a) { fp_mul(o, a, a); }
+
+// a^e for a big-endian exponent byte string
+static void fp_pow_be(Fp& o, const Fp& a, const uint8_t* e, int64_t len) {
+    Fp r = FP_ONE;
+    for (int64_t i = 0; i < len; i++) {
+        for (int bit = 7; bit >= 0; bit--) {
+            fp_sqr(r, r);
+            if ((e[i] >> bit) & 1) fp_mul(r, r, a);
+        }
+    }
+    o = r;
+}
+
+static const uint8_t P_MINUS_2_BE[48] = {
+    0x1a, 0x01, 0x11, 0xea, 0x39, 0x7f, 0xe6, 0x9a, 0x4b, 0x1b, 0xa7, 0xb6,
+    0x43, 0x4b, 0xac, 0xd7, 0x64, 0x77, 0x4b, 0x84, 0xf3, 0x85, 0x12, 0xbf,
+    0x67, 0x30, 0xd2, 0xa0, 0xf6, 0xb0, 0xf6, 0x24, 0x1e, 0xab, 0xff, 0xfe,
+    0xb1, 0x53, 0xff, 0xff, 0xb9, 0xfe, 0xff, 0xff, 0xff, 0xff, 0xaa, 0xa9,
+};
+
+inline void fp_inv(Fp& o, const Fp& a) {
+    fp_pow_be(o, a, P_MINUS_2_BE, 48);
+}
+
+static void fp_from_be(Fp& o, const uint8_t* b) {
+    Fp raw;
+    for (int i = 0; i < 6; i++) {
+        uint64_t w = 0;
+        for (int j = 0; j < 8; j++) w = (w << 8) | b[(5 - i) * 8 + j];
+        raw.v[i] = w;
+    }
+    fp_mul(o, raw, FP_R2);  // to Montgomery
+}
+
+static void init_constants() {
+    static bool done = false;
+    if (done) return;
+    // R mod p by 384 doublings of 1
+    Fp one;
+    memset(&one, 0, sizeof(one));
+    one.v[0] = 1;
+    Fp r = one;
+    for (int i = 0; i < 384; i++) fp_add(r, r, r);
+    FP_ONE = r;
+    Fp r2 = r;
+    for (int i = 0; i < 384; i++) fp_add(r2, r2, r2);
+    FP_R2 = r2;
+    memset(&FP_ZERO, 0, sizeof(FP_ZERO));
+    Fp three;
+    fp_add(three, FP_ONE, FP_ONE);
+    fp_add(FP_THREE, three, FP_ONE);
+    done = true;
+}
+
+// ---------------------------------------------------------------------------
+// Tower: Fp2 = Fp[u]/(u^2+1); Fp6 = Fp2[v]/(v^3 - (u+1)); Fp12 = Fp6[w]/(w^2 - v)
+// (identical construction to refimpl/tower.py)
+// ---------------------------------------------------------------------------
+
+struct Fp2 { Fp c0, c1; };
+struct Fp6 { Fp2 c0, c1, c2; };
+struct Fp12 { Fp6 c0, c1; };
+
+inline void fp2_add(Fp2& o, const Fp2& a, const Fp2& b) {
+    fp_add(o.c0, a.c0, b.c0);
+    fp_add(o.c1, a.c1, b.c1);
+}
+inline void fp2_sub(Fp2& o, const Fp2& a, const Fp2& b) {
+    fp_sub(o.c0, a.c0, b.c0);
+    fp_sub(o.c1, a.c1, b.c1);
+}
+inline void fp2_neg(Fp2& o, const Fp2& a) {
+    fp_neg(o.c0, a.c0);
+    fp_neg(o.c1, a.c1);
+}
+inline void fp2_mul(Fp2& o, const Fp2& a, const Fp2& b) {
+    Fp t0, t1, t2, sa, sb;
+    fp_mul(t0, a.c0, b.c0);
+    fp_mul(t1, a.c1, b.c1);
+    fp_add(sa, a.c0, a.c1);
+    fp_add(sb, b.c0, b.c1);
+    fp_mul(t2, sa, sb);
+    Fp2 r;
+    fp_sub(r.c0, t0, t1);
+    fp_sub(t2, t2, t0);
+    fp_sub(r.c1, t2, t1);
+    o = r;
+}
+inline void fp2_sqr(Fp2& o, const Fp2& a) { fp2_mul(o, a, a); }
+inline bool fp2_is_zero(const Fp2& a) { return fp_is_zero(a.c0) && fp_is_zero(a.c1); }
+inline bool fp2_eq(const Fp2& a, const Fp2& b) { return fp_eq(a.c0, b.c0) && fp_eq(a.c1, b.c1); }
+inline void fp2_mul_by_xi(Fp2& o, const Fp2& a) {
+    // xi = 1 + u
+    Fp t0, t1;
+    fp_sub(t0, a.c0, a.c1);
+    fp_add(t1, a.c0, a.c1);
+    o.c0 = t0;
+    o.c1 = t1;
+}
+inline void fp2_inv(Fp2& o, const Fp2& a) {
+    Fp n, t0, t1, inv;
+    fp_sqr(t0, a.c0);
+    fp_sqr(t1, a.c1);
+    fp_add(n, t0, t1);
+    fp_inv(inv, n);
+    fp_mul(o.c0, a.c0, inv);
+    Fp negc1;
+    fp_neg(negc1, a.c1);
+    fp_mul(o.c1, negc1, inv);
+}
+
+inline void fp6_add(Fp6& o, const Fp6& a, const Fp6& b) {
+    fp2_add(o.c0, a.c0, b.c0);
+    fp2_add(o.c1, a.c1, b.c1);
+    fp2_add(o.c2, a.c2, b.c2);
+}
+inline void fp6_sub(Fp6& o, const Fp6& a, const Fp6& b) {
+    fp2_sub(o.c0, a.c0, b.c0);
+    fp2_sub(o.c1, a.c1, b.c1);
+    fp2_sub(o.c2, a.c2, b.c2);
+}
+inline void fp6_neg(Fp6& o, const Fp6& a) {
+    fp2_neg(o.c0, a.c0);
+    fp2_neg(o.c1, a.c1);
+    fp2_neg(o.c2, a.c2);
+}
+inline bool fp6_is_zero(const Fp6& a) {
+    return fp2_is_zero(a.c0) && fp2_is_zero(a.c1) && fp2_is_zero(a.c2);
+}
+inline bool fp6_eq(const Fp6& a, const Fp6& b) {
+    return fp2_eq(a.c0, b.c0) && fp2_eq(a.c1, b.c1) && fp2_eq(a.c2, b.c2);
+}
+static void fp6_mul(Fp6& o, const Fp6& a, const Fp6& b) {
+    Fp2 t0, t1, t2, s0, s1, r0, r1, r2, x;
+    fp2_mul(t0, a.c0, b.c0);
+    fp2_mul(t1, a.c1, b.c1);
+    fp2_mul(t2, a.c2, b.c2);
+    // c0 = ((a1+a2)(b1+b2) - t1 - t2)*xi + t0
+    fp2_add(s0, a.c1, a.c2);
+    fp2_add(s1, b.c1, b.c2);
+    fp2_mul(x, s0, s1);
+    fp2_sub(x, x, t1);
+    fp2_sub(x, x, t2);
+    fp2_mul_by_xi(x, x);
+    fp2_add(r0, x, t0);
+    // c1 = (a0+a1)(b0+b1) - t0 - t1 + t2*xi
+    fp2_add(s0, a.c0, a.c1);
+    fp2_add(s1, b.c0, b.c1);
+    fp2_mul(x, s0, s1);
+    fp2_sub(x, x, t0);
+    fp2_sub(x, x, t1);
+    Fp2 t2x;
+    fp2_mul_by_xi(t2x, t2);
+    fp2_add(r1, x, t2x);
+    // c2 = (a0+a2)(b0+b2) - t0 - t2 + t1
+    fp2_add(s0, a.c0, a.c2);
+    fp2_add(s1, b.c0, b.c2);
+    fp2_mul(x, s0, s1);
+    fp2_sub(x, x, t0);
+    fp2_sub(x, x, t2);
+    fp2_add(r2, x, t1);
+    o.c0 = r0;
+    o.c1 = r1;
+    o.c2 = r2;
+}
+inline void fp6_mul_by_v(Fp6& o, const Fp6& a) {
+    Fp2 t;
+    fp2_mul_by_xi(t, a.c2);
+    Fp2 a0 = a.c0, a1 = a.c1;
+    o.c0 = t;
+    o.c1 = a0;
+    o.c2 = a1;
+}
+static void fp6_inv(Fp6& o, const Fp6& in) {
+    Fp2 t0, t1, t2, x, denom;
+    // t0 = a^2 - (b*c)*xi
+    fp2_sqr(t0, in.c0);
+    fp2_mul(x, in.c1, in.c2);
+    fp2_mul_by_xi(x, x);
+    fp2_sub(t0, t0, x);
+    // t1 = (c^2)*xi - a*b
+    fp2_sqr(x, in.c2);
+    fp2_mul_by_xi(t1, x);
+    fp2_mul(x, in.c0, in.c1);
+    fp2_sub(t1, t1, x);
+    // t2 = b^2 - a*c
+    fp2_sqr(t2, in.c1);
+    fp2_mul(x, in.c0, in.c2);
+    fp2_sub(t2, t2, x);
+    // denom = a*t0 + (c*t1)*xi + (b*t2)*xi
+    Fp2 d0, d1, d2;
+    fp2_mul(d0, in.c0, t0);
+    fp2_mul(x, in.c2, t1);
+    fp2_mul_by_xi(d1, x);
+    fp2_mul(x, in.c1, t2);
+    fp2_mul_by_xi(d2, x);
+    fp2_add(denom, d0, d1);
+    fp2_add(denom, denom, d2);
+    Fp2 dinv;
+    fp2_inv(dinv, denom);
+    fp2_mul(o.c0, t0, dinv);
+    fp2_mul(o.c1, t1, dinv);
+    fp2_mul(o.c2, t2, dinv);
+}
+
+inline void fp12_add(Fp12& o, const Fp12& a, const Fp12& b) {
+    fp6_add(o.c0, a.c0, b.c0);
+    fp6_add(o.c1, a.c1, b.c1);
+}
+inline void fp12_sub(Fp12& o, const Fp12& a, const Fp12& b) {
+    fp6_sub(o.c0, a.c0, b.c0);
+    fp6_sub(o.c1, a.c1, b.c1);
+}
+static void fp12_mul(Fp12& o, const Fp12& a, const Fp12& b) {
+    Fp6 t0, t1, s0, s1, x, r0, r1;
+    fp6_mul(t0, a.c0, b.c0);
+    fp6_mul(t1, a.c1, b.c1);
+    Fp6 t1v;
+    fp6_mul_by_v(t1v, t1);
+    fp6_add(r0, t0, t1v);
+    fp6_add(s0, a.c0, a.c1);
+    fp6_add(s1, b.c0, b.c1);
+    fp6_mul(x, s0, s1);
+    fp6_sub(x, x, t0);
+    fp6_sub(r1, x, t1);
+    o.c0 = r0;
+    o.c1 = r1;
+}
+inline void fp12_sqr(Fp12& o, const Fp12& a) { fp12_mul(o, a, a); }
+inline void fp12_conj(Fp12& o, const Fp12& a) {
+    o.c0 = a.c0;
+    fp6_neg(o.c1, a.c1);
+}
+static void fp12_inv(Fp12& o, const Fp12& a) {
+    Fp6 t0, t1, d;
+    fp6_mul(t0, a.c0, a.c0);
+    fp6_mul(t1, a.c1, a.c1);
+    Fp6 t1v;
+    fp6_mul_by_v(t1v, t1);
+    fp6_sub(d, t0, t1v);
+    Fp6 dinv;
+    fp6_inv(dinv, d);
+    fp6_mul(o.c0, a.c0, dinv);
+    Fp6 n;
+    fp6_mul(n, a.c1, dinv);
+    fp6_neg(o.c1, n);
+}
+static Fp12 fp12_one() {
+    Fp12 r;
+    memset(&r, 0, sizeof(r));
+    r.c0.c0.c0 = FP_ONE;
+    return r;
+}
+inline bool fp12_is_one(const Fp12& a) {
+    Fp12 one = fp12_one();
+    return fp6_eq(a.c0, one.c0) && fp6_is_zero(a.c1);
+}
+static void fp12_pow_be(Fp12& o, const Fp12& a, const uint8_t* e, int64_t len) {
+    Fp12 r = fp12_one();
+    bool started = false;
+    for (int64_t i = 0; i < len; i++) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) fp12_sqr(r, r);
+            if ((e[i] >> bit) & 1) {
+                if (started) fp12_mul(r, r, a);
+                else { r = a; started = true; }
+            }
+        }
+    }
+    o = r;
+}
+
+// ---------------------------------------------------------------------------
+// Pairing: untwist + affine Fp12 Miller loop (mirrors refimpl/pairing.py)
+// ---------------------------------------------------------------------------
+
+struct PtFp12 { Fp12 x, y; bool inf; };
+
+static Fp12 embed_fp2(const Fp2& a) {
+    Fp12 r;
+    memset(&r, 0, sizeof(r));
+    r.c0.c0 = a;
+    return r;
+}
+
+// w^-2 and w^-3 in Fp12 (computed once)
+static Fp12 W2_INV, W3_INV;
+static bool TW_INIT = false;
+
+static void init_twist_constants() {
+    if (TW_INIT) return;
+    Fp12 w;
+    memset(&w, 0, sizeof(w));
+    w.c1.c0.c0 = FP_ONE;  // w
+    Fp12 w2, w3;
+    fp12_mul(w2, w, w);
+    fp12_mul(w3, w2, w);
+    fp12_inv(W2_INV, w2);
+    fp12_inv(W3_INV, w3);
+    TW_INIT = true;
+}
+
+// lam for doubling (3x^2 / 2y) or chord ((y2-y1)/(x2-x1)); o = line value at
+// (xp, yp): (yp - ay) - lam*(xp - ax).  Returns false for the vertical case
+// (handled by caller as xp - ax).
+static void line_eval(Fp12& o, const PtFp12& a, const PtFp12& b,
+                      const Fp12& xp, const Fp12& yp) {
+    Fp12 lam, num, den, t;
+    if (fp6_eq(a.x.c0, b.x.c0) && fp6_eq(a.x.c1, b.x.c1) &&
+        fp6_eq(a.y.c0, b.y.c0) && fp6_eq(a.y.c1, b.y.c1)) {
+        Fp12 x2, three;
+        fp12_sqr(x2, a.x);
+        three = fp12_one();
+        // 3 in Fp12
+        Fp12 two;
+        fp12_add(two, three, three);
+        fp12_add(three, two, three);
+        fp12_mul(num, x2, three);
+        fp12_add(den, a.y, a.y);
+        Fp12 deninv;
+        fp12_inv(deninv, den);
+        fp12_mul(lam, num, deninv);
+    } else if (fp6_eq(a.x.c0, b.x.c0) && fp6_eq(a.x.c1, b.x.c1)) {
+        fp12_sub(o, xp, a.x);  // vertical line
+        return;
+    } else {
+        Fp12 dy, dx, dxinv;
+        fp12_sub(dy, b.y, a.y);
+        fp12_sub(dx, b.x, a.x);
+        fp12_inv(dxinv, dx);
+        fp12_mul(lam, dy, dxinv);
+    }
+    Fp12 dxp;
+    fp12_sub(dxp, xp, a.x);
+    fp12_mul(t, lam, dxp);
+    fp12_sub(o, yp, a.y);
+    fp12_sub(o, o, t);
+}
+
+// a + b on E(Fp12), affine; sets inf on inverse pairs
+static void pt_add(PtFp12& o, const PtFp12& a, const PtFp12& b) {
+    Fp12 lam;
+    bool same_x = fp6_eq(a.x.c0, b.x.c0) && fp6_eq(a.x.c1, b.x.c1);
+    bool same_y = fp6_eq(a.y.c0, b.y.c0) && fp6_eq(a.y.c1, b.y.c1);
+    if (same_x && same_y) {
+        Fp12 x2, three, two, num, den, deninv;
+        fp12_sqr(x2, a.x);
+        three = fp12_one();
+        fp12_add(two, three, three);
+        fp12_add(three, two, three);
+        fp12_mul(num, x2, three);
+        fp12_add(den, a.y, a.y);
+        fp12_inv(deninv, den);
+        fp12_mul(lam, num, deninv);
+    } else if (same_x) {
+        o.inf = true;
+        return;
+    } else {
+        Fp12 dy, dx, dxinv;
+        fp12_sub(dy, b.y, a.y);
+        fp12_sub(dx, b.x, a.x);
+        fp12_inv(dxinv, dx);
+        fp12_mul(lam, dy, dxinv);
+    }
+    Fp12 x3, y3, t;
+    fp12_sqr(x3, lam);
+    fp12_sub(x3, x3, a.x);
+    fp12_sub(x3, x3, b.x);
+    fp12_sub(t, a.x, x3);
+    fp12_mul(y3, lam, t);
+    fp12_sub(y3, y3, a.y);
+    o.x = x3;
+    o.y = y3;
+    o.inf = false;
+}
+
+// BLS parameter |x| = 0xd201000000010000 (x itself is negative)
+static const uint64_t BLS_X_ABS = 0xd201000000010000ULL;
+
+// Miller function f_{|x|, Q}(P), conjugated for negative x — exactly
+// refimpl/pairing.py miller_loop.  Returns false if the point chain hits
+// infinity mid-loop (only possible for out-of-subgroup adversarial Q;
+// the Python ground truth raises there, so callers must fail the same
+// way — the ctypes wrapper falls back to the Python path).
+static bool miller_loop(Fp12& o, const Fp& px, const Fp& py,
+                        const Fp2& qx, const Fp2& qy) {
+    init_twist_constants();
+    PtFp12 qq;
+    Fp12 exq = embed_fp2(qx), eyq = embed_fp2(qy);
+    fp12_mul(qq.x, exq, W2_INV);
+    fp12_mul(qq.y, eyq, W3_INV);
+    qq.inf = false;
+
+    Fp12 xp, yp;
+    memset(&xp, 0, sizeof(xp));
+    memset(&yp, 0, sizeof(yp));
+    xp.c0.c0.c0 = px;
+    yp.c0.c0.c0 = py;
+
+    Fp12 f = fp12_one();
+    PtFp12 t = qq;
+    // iterate bits of |x| after the leading one
+    int top = 63;
+    while (!((BLS_X_ABS >> top) & 1)) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        Fp12 l;
+        fp12_sqr(f, f);
+        line_eval(l, t, t, xp, yp);
+        fp12_mul(f, f, l);
+        PtFp12 t2;
+        t2.inf = false;
+        pt_add(t2, t, t);
+        if (t2.inf) return false;
+        t = t2;
+        if ((BLS_X_ABS >> i) & 1) {
+            line_eval(l, t, qq, xp, yp);
+            fp12_mul(f, f, l);
+            pt_add(t2, t, qq);
+            if (t2.inf) return false;
+            t = t2;
+        }
+    }
+    fp12_conj(o, f);  // x < 0
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Product-of-pairings check: prod_i e(P_i, Q_i) == 1.
+//
+// g1s: n * 96 bytes  (x||y canonical big-endian Fp; all-zero = infinity)
+// g2s: n * 192 bytes (x_c0||x_c1||y_c0||y_c1 canonical big-endian)
+// p2_be / hard_be: big-endian bytes of p^2 and (p^4 - p^2 + 1)/r.
+// Returns 1 (accept), 0 (reject), -1 (degenerate chain: caller must fall
+// back to the reference implementation, which errors on such inputs).
+int fw_pairings_check(const uint8_t* g1s, const uint8_t* g2s, int64_t n,
+                      const uint8_t* p2_be, int64_t p2_len,
+                      const uint8_t* hard_be, int64_t hard_len) {
+    init_constants();
+    Fp12 f = fp12_one();
+    for (int64_t k = 0; k < n; k++) {
+        const uint8_t* g1 = g1s + 96 * k;
+        const uint8_t* g2 = g2s + 192 * k;
+        bool g1_inf = true, g2_inf = true;
+        for (int i = 0; i < 96 && g1_inf; i++) g1_inf = g1[i] == 0;
+        for (int i = 0; i < 192 && g2_inf; i++) g2_inf = g2[i] == 0;
+        if (g1_inf || g2_inf) continue;  // e(O, Q) = e(P, O) = 1
+        Fp px, py;
+        fp_from_be(px, g1);
+        fp_from_be(py, g1 + 48);
+        Fp2 qx, qy;
+        fp_from_be(qx.c0, g2);
+        fp_from_be(qx.c1, g2 + 48);
+        fp_from_be(qy.c0, g2 + 96);
+        fp_from_be(qy.c1, g2 + 144);
+        Fp12 m;
+        if (!miller_loop(m, px, py, qx, qy)) return -1;
+        fp12_mul(f, f, m);
+    }
+    // easy part: f^((p^6-1)(p^2+1))
+    Fp12 conj, inv, t;
+    fp12_conj(conj, f);
+    fp12_inv(inv, f);
+    fp12_mul(f, conj, inv);
+    fp12_pow_be(t, f, p2_be, p2_len);
+    fp12_mul(f, t, f);
+    // hard part
+    fp12_pow_be(f, f, hard_be, hard_len);
+    return fp12_is_one(f) ? 1 : 0;
+}
+
+// Debug/test export: full pairing e(P, Q), written as 12*48 canonical BE
+// bytes (tower order c0..c1, each Fp6 c0.c0,c0.c1,c1.c0,... matching the
+// Python refimpl field order).
+int fw_pairing(const uint8_t* g1, const uint8_t* g2,
+               const uint8_t* p2_be, int64_t p2_len,
+               const uint8_t* hard_be, int64_t hard_len, uint8_t* out) {
+    init_constants();
+    Fp px, py;
+    fp_from_be(px, g1);
+    fp_from_be(py, g1 + 48);
+    Fp2 qx, qy;
+    fp_from_be(qx.c0, g2);
+    fp_from_be(qx.c1, g2 + 48);
+    fp_from_be(qy.c0, g2 + 96);
+    fp_from_be(qy.c1, g2 + 144);
+    Fp12 f;
+    if (!miller_loop(f, px, py, qx, qy)) return -1;
+    Fp12 conj, inv, t;
+    fp12_conj(conj, f);
+    fp12_inv(inv, f);
+    fp12_mul(f, conj, inv);
+    fp12_pow_be(t, f, p2_be, p2_len);
+    fp12_mul(f, t, f);
+    fp12_pow_be(f, f, hard_be, hard_len);
+
+    const Fp* fps[12] = {
+        &f.c0.c0.c0, &f.c0.c0.c1, &f.c0.c1.c0, &f.c0.c1.c1,
+        &f.c0.c2.c0, &f.c0.c2.c1, &f.c1.c0.c0, &f.c1.c0.c1,
+        &f.c1.c1.c0, &f.c1.c1.c1, &f.c1.c2.c0, &f.c1.c2.c1,
+    };
+    for (int k = 0; k < 12; k++) {
+        // from Montgomery: multiply by 1
+        Fp one_raw;
+        memset(&one_raw, 0, sizeof(one_raw));
+        one_raw.v[0] = 1;
+        Fp canon;
+        fp_mul(canon, *fps[k], one_raw);
+        for (int i = 0; i < 6; i++) {
+            uint64_t w = canon.v[5 - i];
+            for (int j = 0; j < 8; j++)
+                out[48 * k + 8 * i + j] = (uint8_t)(w >> (8 * (7 - j)));
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -101,15 +101,30 @@ def pairing(p: G1Point, q: G2Point) -> Fp12:
     return final_exponentiation(miller_loop(p, q))
 
 
+def _native_check(pairs) -> bool | None:
+    """Native (C++) multi-pairing product check; None -> use this module."""
+    from .. import native
+
+    try:
+        return native.pairings_check(pairs)
+    except Exception:
+        return None
+
+
 def pairings_verify_single(a1: G1Point, a2: G2Point, b1: G1Point, b2: G2Point) -> bool:
     """Check e(a1, a2) == e(b1, b2) as a 2-pairing product with one final exp.
 
     Mirrors PianoBackend::pairings_verify_single (reference
     src/engine/piano.rs:358-388): negate the first G1 input, aggregate two
-    Miller loops, one final exponentiation, compare to 1.
+    Miller loops, one final exponentiation, compare to 1.  Served by the
+    native kernel (fourier_tpu/native/fastpairing.cpp) when built; this
+    module is the exact fallback and ground truth.
     """
     from .curve import g1_neg
 
+    got = _native_check([(g1_neg(a1), a2), (b1, b2)])
+    if got is not None:
+        return got
     f = miller_loop(g1_neg(a1), a2) * miller_loop(b1, b2)
     return final_exponentiation(f).is_one()
 
@@ -125,8 +140,12 @@ def pairings_verify(
     """Check e(a1,a2) == e(b11,b12) * e(b21,b22) (3 Miller loops, 1 final exp).
 
     Mirrors PianoBackend::pairings_verify (reference src/engine/piano.rs:422-464).
+    Native-served like pairings_verify_single.
     """
     from .curve import g1_neg
 
+    got = _native_check([(g1_neg(a1), a2), (b11, b12), (b21, b22)])
+    if got is not None:
+        return got
     f = miller_loop(g1_neg(a1), a2) * miller_loop(b11, b12) * miller_loop(b21, b22)
     return final_exponentiation(f).is_one()

@@ -59,3 +59,73 @@ def test_server_parse_uses_native(lib, rng):
     ]
     out = _parse_poly_limbs(strs)
     assert limbs_to_ints(out.T) == vals
+
+
+# -- native pairing kernel (fastpairing.cpp) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def plib():
+    lib = native.get_pairing_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_pairing_value_matches_refimpl(plib, rng):
+    from fourier_tpu.refimpl import pairing
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g2_mul
+
+    a, b = rng.randrange(2, R), rng.randrange(2, R)
+    p, q = g1_mul(G1_GEN, a), g2_mul(G2_GEN, b)
+    got = native.pairing_value(p, q)
+    assert got is not None
+    want = pairing.pairing(p, q)
+    # 12 Fp coefficients in tower order (Fp12 -> Fp6 -> Fp2 -> Fp)
+    flat = []
+    for six in (want.c0, want.c1):
+        for two in (six.c0, six.c1, six.c2):
+            flat.extend([two.c0, two.c1])
+    assert got == flat
+
+
+def test_pairing_bilinearity_native(plib, rng):
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g2_mul
+
+    a, b = rng.randrange(2, 2**64), rng.randrange(2, 2**64)
+    lhs = native.pairing_value(g1_mul(G1_GEN, a), g2_mul(G2_GEN, b))
+    rhs = native.pairing_value(g1_mul(G1_GEN, a * b % R), G2_GEN)
+    assert lhs == rhs
+
+
+def test_pairings_check_accept_reject(plib, rng):
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g1_neg, g2_mul
+
+    s = rng.randrange(2, R)
+    # e(-sG1, G2) * e(G1, sG2) == 1
+    assert native.pairings_check(
+        [(g1_neg(g1_mul(G1_GEN, s)), G2_GEN), (G1_GEN, g2_mul(G2_GEN, s))]
+    ) is True
+    assert native.pairings_check(
+        [(g1_neg(g1_mul(G1_GEN, s + 1)), G2_GEN), (G1_GEN, g2_mul(G2_GEN, s))]
+    ) is False
+
+
+def test_pairings_check_infinity_lanes(plib):
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN
+
+    # e(O, Q) = e(P, O) = 1 -> empty product accepts
+    assert native.pairings_check([(None, G2_GEN), (G1_GEN, None)]) is True
+
+
+def test_verify_single_served_native(plib, rng):
+    """pairings_verify_single must agree with the pure-Python path."""
+    from fourier_tpu.refimpl import pairing
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g2_mul
+
+    # KZG-shaped identity: e(s*G1, G2) == e(G1, s*G2)
+    s = rng.randrange(2, R)
+    a1, a2 = g1_mul(G1_GEN, s), G2_GEN
+    b1, b2 = G1_GEN, g2_mul(G2_GEN, s)
+    assert pairing.pairings_verify_single(a1, a2, b1, b2)
+    assert not pairing.pairings_verify_single(g1_mul(G1_GEN, s + 1), a2, b1, b2)
