@@ -172,6 +172,16 @@ def msm(points: G1Aff, scalars, c: int = 0) -> G1Jac:
     n = points.x.shape[-1]
     if c == 0:
         c = _auto_window(n)
+
+    from . import pallas_curve as pc
+
+    if pc.enabled():
+        # TPU fast path: slab-packed fused bucket accumulation.  The jnp
+        # formulation below remains the CPU/test reference.
+        from . import msm_fused
+
+        return msm_fused.msm_fused(points, scalars, c)
+
     n_buckets = 1 << c
     n_windows = -(-256 // c)
 

@@ -142,6 +142,41 @@ def test_horner_2k_kernel(rng):
     assert got == expect
 
 
+def test_msm_fused_slab(rng):
+    """The fused-slab MSM (ops.msm_fused) vs the naive oracle, covering
+    the adversarial lanes of its round loop: an infinity point, a zero
+    scalar, a duplicated point with equal scalar (same bucket -> forced
+    same-point collision -> exact-fallback round), and the all-equal
+    scalars skew that spills into multiple slab rounds."""
+    from fourier_tpu.constants import FR_LIMBS
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.ops.limbs import ints_to_vec
+
+    n = 64
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    pts[5] = None                     # infinity lane
+    pts[9] = pts[8]                   # duplicate point ...
+    scalars = [rng.randrange(R >> 192) << rng.randrange(150) for _ in range(n)]
+    scalars[3] = 0                    # zero scalar
+    scalars[9] = scalars[8]           # ... same scalar -> bucket collision
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, FR_LIMBS))
+
+    import unittest.mock
+    with unittest.mock.patch.object(mf, "BTILE", 128):
+        want = cv.jac_to_int_points(msm_mod.msm_naive(points, sc))[0]
+        got = cv.jac_to_int_points(mf.msm_fused(points, sc, 6))[0]
+        assert got == want
+
+        # all-equal scalars: one bucket per window swallows everything,
+        # exceeding the slab SLACK -> multi-round while_loop path
+        eq = jnp.asarray(ints_to_vec([12345678901234567890] * n, FR_LIMBS))
+        want_eq = cv.jac_to_int_points(msm_mod.msm_naive(points, eq))[0]
+        got_eq = cv.jac_to_int_points(mf.msm_fused(points, eq, 6))[0]
+        assert got_eq == want_eq
+
+
 def test_scan_sum_and_fold(rng):
     """tree_sum_fast's scan stages + fold_small vs a direct sum, on a
     width that is not a multiple of any stage (padding with identities)."""
