@@ -9,28 +9,38 @@ to ~2000 per-row gathers — and padded every bucket to the global max
 count (~1.6x slack).  This module restructures the whole accumulation:
 
 1. **Digits** for all windows at once (vector bit ops).
-2. **Batched per-window sort** of digits (one XLA sort over [W, n]).
-3. **Count-descending bucket packing**: all W*2^c buckets (every window
-   at once) are ordered by descending load and packed into tiles of
-   BTILE buckets.  Because tile-mates have near-equal counts, padding a
-   tile to its own max count costs ~2% (vs ~60% for a global max).
-4. **One slab gather** builds a contiguous stream of point tiles: lane
-   (tile t, row r, slot j) holds the r-th point of the j-th bucket of
-   tile t.  This converts the per-row random gathers into a single
-   large gather (XLA lowers it as a streaming DMA) + purely sequential
-   kernel reads.
-5. **One Pallas kernel** walks the slab: grid step g mixed-adds one
+2. **Sub-bucket splitting**: a window whose top bit exceeds the scalar
+   width has few effective buckets carrying huge loads (c=13 leaves the
+   top window 9 effective bits: 512 buckets x ~2k points at 2^19 —
+   which forced a serial tail through one accumulator tile).  Every
+   window is therefore laid out over the same 2^c slots, with window w
+   split s_w = 2^(c - eff_bits_w) ways: bucket d's points are dealt
+   round-robin over s_w adjacent slots (a strided gather), equalizing
+   slot loads across ALL W*2^c slots.  The combine re-weights split
+   windows by dropping their low log2(s_w) bit-partial-sums — exact,
+   zero extra cost.
+3. **Batched per-window sort** of digits (one XLA sort over [W, n]).
+4. **Count-descending slot packing**: all W*2^c slots (every window at
+   once) are ordered by descending load and packed into tiles of BTILE
+   slots.  Because tile-mates have near-equal counts, padding a tile to
+   its own max count costs ~2% (vs ~60% for a global max).
+5. **One packed slab gather** builds a contiguous stream of point
+   tiles: lane (tile t, row r, slot j) holds the r-th point of the j-th
+   slot of tile t.  Points travel as 24 u32 words (two 16-bit limbs per
+   word, x and y together, 96 contiguous bytes per point), halving the
+   gather traffic; the kernel unpacks with one mask+shift.
+6. **One Pallas kernel** walks the slab: grid step g mixed-adds one
    [BTILE]-wide row of points into a VMEM-resident accumulator tile,
    revisited across that tile's rows (scalar-prefetched tile ids drive
    the output index map).  The accumulator touches HBM once per tile,
    not once per row.  The point add is the *incomplete* (collision
    flagged) formula from ops/pallas_curve; any flagged lane triggers an
    exact re-run of the round under the complete formulas (`lax.cond`).
-6. **Bounded slab + multi-round**: the slab has a static capacity of
-   ~1.1x the mean load; adversarially skewed digit distributions (the
-   O(n)-serial cliff of the round-1 kernel, a client-controlled input)
-   simply spill into further rounds of the same program under a
-   `while_loop` — worst case O(n*W) total work, same as uniform.
+7. **Bounded slab + multi-round**: the slab has a static capacity of
+   ~1.06x the mean load; adversarially skewed digit distributions (a
+   client-controlled input via workerCommit) spill into further rounds
+   of the same program under a `while_loop` — worst case O(n*W) total
+   work, same as uniform.
 
 The jnp path in ops/msm.py remains the CPU/test reference; this module
 is exercised under the Pallas interpreter in the suite and dispatched on
@@ -47,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import FP_LIMBS, LIMB_BITS
+from ..constants import FP_LIMBS
 from . import curve as cv
 from . import pallas_curve as pc
 from .curve import FP_COMPACT, G1Aff, G1Jac
@@ -57,10 +67,18 @@ from .field import FP, with_consts
 # this to exercise multi-tile grids at small n.
 BTILE = 1024
 
-# Slab capacity as a multiple of the ideal (sum of bucket loads).  The
-# ~2% tile-packing slack plus sort-tie jitter fits comfortably in 10%;
-# anything beyond spills to a second round.
-SLACK = 1.10
+# Slab capacity as a multiple of the ideal (sum of slot loads).  With
+# sub-bucket splitting the slot loads are near-uniform, so the ~2%
+# tile-packing slack fits comfortably; skew spills to further rounds.
+SLACK = 1.06
+
+# Scalars are treated as SCALAR_BITS-bit integers when deriving each
+# window's effective bucket count.  256 (not the 255 bits of Fr) keeps
+# the generic API safe for any uint256 input; for canonical Fr scalars
+# the top effective bucket range is simply half-empty.
+SCALAR_BITS = 256
+
+_HALF = FP_LIMBS // 2
 
 
 def _exclusive_cumsum(x):
@@ -68,11 +86,36 @@ def _exclusive_cumsum(x):
     return jnp.concatenate([jnp.zeros((1,), x.dtype), c[:-1]])
 
 
+def _window_plan(c: int):
+    """Per-window effective bits and split factors (static)."""
+    n_windows = -(-SCALAR_BITS // c)
+    eff = [min(c, SCALAR_BITS - c * w) for w in range(n_windows)]
+    splits = [1 << (c - e) for e in eff]
+    return n_windows, eff, splits
+
+
+def pack_points(points: G1Aff):
+    """[n, FP_LIMBS] u32 table: word j < L/2 holds x limbs (j, j+L/2),
+    word L/2+j holds y limbs (j, j+L/2) — 96 contiguous bytes/point."""
+    xw = points.x[:_HALF] | (points.x[_HALF:] << 16)
+    yw = points.y[:_HALF] | (points.y[_HALF:] << 16)
+    return jnp.concatenate([xw, yw], axis=0).T
+
+
+def _unpack_words(pw):
+    """Inverse of pack_points on a [FP_LIMBS, ...] word block."""
+    lo = pw & jnp.uint32(0xFFFF)
+    hi = pw >> 16
+    x = jnp.concatenate([lo[:_HALF], hi[:_HALF]], axis=0)
+    y = jnp.concatenate([lo[_HALF:], hi[_HALF:]], axis=0)
+    return x, y
+
+
 # ---------------------------------------------------------------------------
 # The accumulation kernel
 # ---------------------------------------------------------------------------
 
-def _accum_kernel(vk_ref, ti_ref, consts, sx, sy, sinf, ax_in, ay_in, az_in,
+def _accum_kernel(vk_ref, ti_ref, consts, spw, sinf, ax_in, ay_in, az_in,
                   ox, oy, oz, ofl):
     """Grid step g: acc[tile] = madd(acc[tile], slab_row_g).
 
@@ -99,9 +142,10 @@ def _accum_kernel(vk_ref, ti_ref, consts, sx, sy, sinf, ax_in, ay_in, az_in,
         oz[...] = az_in[...]
         ofl[...] = jnp.zeros_like(ofl)
 
+    sx, sy = _unpack_words(spw[...])
     inf_lane = jnp.squeeze(sinf[...], axis=0).astype(bool)
     rx, ry, rz, col = pc._madd_values_incomplete(
-        f, ox[...], oy[...], oz[...], sx[...], sy[...], inf_lane
+        f, ox[...], oy[...], oz[...], sx, sy, inf_lane
     )
     ox[...] = rx
     oy[...] = ry
@@ -109,7 +153,7 @@ def _accum_kernel(vk_ref, ti_ref, consts, sx, sy, sinf, ax_in, ay_in, az_in,
     ofl[...] = ofl[...] | col[None].astype(jnp.uint32)
 
 
-def _run_accum_kernel(vk, tile_id, slab_x, slab_y, slab_inf, acc: G1Jac):
+def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
     """One round of slab accumulation on the Pallas fast path."""
     n_tiles = acc.x.shape[-1] // BTILE
     G = vk.shape[0]
@@ -120,8 +164,8 @@ def _run_accum_kernel(vk, tile_id, slab_x, slab_y, slab_inf, acc: G1Jac):
     def acc_map(g, vk_ref, ti_ref):
         return (0, ti_ref[g])
 
-    coord_in = pl.BlockSpec((FP_LIMBS, BTILE), slab_map,
-                            memory_space=pltpu.VMEM)
+    word_in = pl.BlockSpec((FP_LIMBS, BTILE), slab_map,
+                           memory_space=pltpu.VMEM)
     inf_in = pl.BlockSpec((1, BTILE), slab_map, memory_space=pltpu.VMEM)
     acc_in = pl.BlockSpec((FP_LIMBS, BTILE), acc_map,
                           memory_space=pltpu.VMEM)
@@ -139,8 +183,7 @@ def _run_accum_kernel(vk, tile_id, slab_x, slab_y, slab_inf, acc: G1Jac):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
-        in_specs=[consts_spec, coord_in, coord_in, inf_in,
-                  acc_in, acc_in, acc_in],
+        in_specs=[consts_spec, word_in, inf_in, acc_in, acc_in, acc_in],
         out_specs=(acc_out, acc_out, acc_out, flag_out),
     )
     ox, oy, oz, fl = pl.pallas_call(
@@ -148,12 +191,12 @@ def _run_accum_kernel(vk, tile_id, slab_x, slab_y, slab_inf, acc: G1Jac):
         grid_spec=grid_spec,
         out_shape=(coord_shape, coord_shape, coord_shape, flag_shape),
         interpret=pc.interpret(),
-    )(vk, tile_id, jnp.asarray(pc._FP_CONSTS), slab_x, slab_y, slab_inf,
+    )(vk, tile_id, jnp.asarray(pc._FP_CONSTS), slab_pw, slab_inf,
       acc.x, acc.y, acc.z)
     return G1Jac(ox, oy, oz), fl
 
 
-def _run_accum_fallback(vk, tile_id, slab_x, slab_y, slab_inf, acc: G1Jac):
+def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
     """Exact re-run of a round with the complete (rolled) formulas.
 
     Reached only when the incomplete kernel flags a same-point collision
@@ -179,9 +222,10 @@ def _run_accum_fallback(vk, tile_id, slab_x, slab_y, slab_inf, acc: G1Jac):
             jnp.where(is_init, fresh.z, cur.z),
         )
         s = g * BTILE
+        pw = jax.lax.dynamic_slice_in_dim(slab_pw, s, BTILE, axis=1)
+        qx, qy = _unpack_words(pw)
         q = G1Aff(
-            jax.lax.dynamic_slice_in_dim(slab_x, s, BTILE, axis=1),
-            jax.lax.dynamic_slice_in_dim(slab_y, s, BTILE, axis=1),
+            qx, qy,
             jax.lax.dynamic_slice_in_dim(slab_inf[0], s, BTILE) > 0,
         )
         new = cv._madd_impl(FP_COMPACT, cur, q)
@@ -213,24 +257,29 @@ def msm_fused(points: G1Aff, scalars, c: int) -> G1Jac:
     points: G1Aff [L, n]; scalars: uint32[FR_LIMBS, n] canonical.
     Returns the single Jacobian result.
     """
+    return msm_fused_packed(pack_points(points), points.inf, scalars, c)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
+    """MSM over a pre-packed point table (see pack_points).
+
+    The packed table is the natural device-resident form for fixed bases
+    (the Piano SRS rows): pack once at setup, skip the per-call
+    interleave."""
     from . import msm as msm_mod
 
-    n = points.x.shape[-1]
+    n = packed.shape[0]
     B = 1 << c
-    n_windows = -(-256 // c)
+    n_windows, eff_bits, splits = _window_plan(c)
     n_tiles = -(-(n_windows * B) // BTILE)
     BT = n_tiles * BTILE
     G = _grid_size(n, n_windows, n_tiles)
 
     digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
     # Points at infinity contribute nothing: fold them into the excluded
-    # digit-0 class (bucket 0 is weighted by zero in the reduction).
-    digits = jnp.where(points.inf[None], 0, digits)
-
-    # Point-interleaved layout for the slab gather: one row = one point's
-    # 48 limbs, so the gather reads contiguous 192-byte rows instead of
-    # 2x24 strided words per point (~15x faster on HBM).
-    interleaved = jnp.concatenate([points.x.T, points.y.T], axis=1)  # [n, 48]
+    # digit-0 class (digit-0 slots are weighted by zero in the reduction).
+    digits = jnp.where(inf[None], 0, digits)
 
     order = jnp.argsort(digits, axis=-1).astype(jnp.int32)      # [W, n]
     sd = jnp.take_along_axis(digits, order, axis=-1)
@@ -241,24 +290,41 @@ def msm_fused(points: G1Aff, scalars, c: int) -> G1Jac:
             row, jnp.arange(B + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
     )(sd)                                                        # [W, B+1]
-    counts = edges[:, 1:] - edges[:, :-1]                        # [W, B]
-    counts = counts.at[:, 0].set(0)                              # drop digit 0
-    starts = edges[:, :-1] + (
-        jnp.arange(n_windows, dtype=jnp.int32) * n
-    )[:, None]                                                   # into order_flat
+    cnt = edges[:, 1:] - edges[:, :-1]                           # [W, B]
 
+    # Sub-bucket layout: window w's bucket d is dealt over s_w adjacent
+    # slots (d*s_w + j), one point every s_w-th sorted position.
+    log_s = jnp.asarray([c - e for e in eff_bits], jnp.int32)[:, None]
+    s_arr = jnp.asarray(splits, jnp.int32)[:, None]              # [W, 1]
+    slot_i = jnp.arange(B, dtype=jnp.int32)[None, :]             # [1, B]
+    d_idx = slot_i >> log_s                                      # [W, B]
+    j_idx = slot_i & (s_arr - 1)
+    cnt_d = jnp.take_along_axis(cnt, d_idx, axis=-1)
+    counts = (cnt_d + s_arr - 1 - j_idx) // s_arr                # [W, B]
+    counts = jnp.where(d_idx == 0, 0, counts)                    # drop digit 0
+    starts = (
+        jnp.take_along_axis(edges[:, :-1], d_idx, axis=-1) + j_idx
+        + (jnp.arange(n_windows, dtype=jnp.int32) * n)[:, None]
+    )                                                            # into order_flat
+    strides = jnp.broadcast_to(s_arr, (n_windows, B))
+
+    pad = BT - n_windows * B
     counts_flat = jnp.concatenate(
-        [counts.reshape(-1), jnp.zeros((BT - n_windows * B,), jnp.int32)]
+        [counts.reshape(-1), jnp.zeros((pad,), jnp.int32)]
     )
     starts_flat = jnp.concatenate(
-        [starts.reshape(-1), jnp.zeros((BT - n_windows * B,), jnp.int32)]
+        [starts.reshape(-1), jnp.zeros((pad,), jnp.int32)]
+    )
+    strides_flat = jnp.concatenate(
+        [strides.reshape(-1), jnp.ones((pad,), jnp.int32)]
     )
 
-    # Count-descending bucket -> slot packing.
+    # Count-descending slot packing.
     csort = jnp.argsort(-counts_flat).astype(jnp.int32)          # [BT]
     inv_csort = jnp.argsort(csort).astype(jnp.int32)
     counts_slot = counts_flat[csort]
     starts_slot = starts_flat[csort]
+    strides_slot = strides_flat[csort]
     order_flat = order.reshape(-1)
 
     tile_of_slot = (
@@ -299,24 +365,25 @@ def msm_fused(points: G1Aff, scalars, c: int) -> G1Jac:
         slot = tile_id[:, None] * BTILE + jnp.arange(BTILE, dtype=jnp.int32)
         rank = done[slot] + row_id[:, None]                      # [G, BTILE]
         valid = (row_id[:, None] >= 0) & (rank < counts_slot[slot])
-        src_pos = jnp.clip(starts_slot[slot] + rank, 0, order_flat.shape[0] - 1)
+        src_pos = jnp.clip(
+            starts_slot[slot] + rank * strides_slot[slot],
+            0, order_flat.shape[0] - 1,
+        )
         src = jnp.where(valid, order_flat[src_pos], 0).reshape(-1)
 
-        slab = jnp.take(interleaved, src, axis=0).T  # [48, G*BTILE]
-        slab_x = slab[:FP_LIMBS]
-        slab_y = slab[FP_LIMBS:]
+        slab_pw = jnp.take(packed, src, axis=0).T  # [FP_LIMBS, G*BTILE]
         slab_inf = (
-            (~valid.reshape(-1)) | points.inf[src]
+            (~valid.reshape(-1)) | inf[src]
         )[None].astype(jnp.uint32)
 
         acc = G1Jac(acc_x, acc_y, acc_z)
         new_acc, flags = _run_accum_kernel(
-            vk, tile_id, slab_x, slab_y, slab_inf, acc
+            vk, tile_id, slab_pw, slab_inf, acc
         )
         new_acc = jax.lax.cond(
             jnp.any(flags > 0),
             lambda _: _run_accum_fallback(
-                vk, tile_id, slab_x, slab_y, slab_inf, acc
+                vk, tile_id, slab_pw, slab_inf, acc
             ),
             lambda _: new_acc,
             operand=None,
@@ -336,7 +403,7 @@ def msm_fused(points: G1Aff, scalars, c: int) -> G1Jac:
     state = jax.lax.while_loop(lambda s: s[-1], round_body, init)
     acc = G1Jac(state[0], state[1], state[2])
 
-    # Un-permute slots back to canonical (window, bucket) order.
+    # Un-permute slots back to canonical (window, slot) order.
     canon = inv_csort[: n_windows * B]
     buckets = G1Jac(
         jnp.take(acc.x, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
@@ -344,18 +411,45 @@ def msm_fused(points: G1Aff, scalars, c: int) -> G1Jac:
         jnp.take(acc.z, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
     )
 
-    # Weighted bucket reduction + window combine (shared with ops.msm).
-    def per_window(_, bw):
-        s = msm_mod._bit_partial_sums(G1Jac(*bw), c)  # [L, c, R]
-        return None, (s.x, s.y, s.z)
-
-    seq = (
-        jnp.moveaxis(buckets.x, 1, 0),
-        jnp.moveaxis(buckets.y, 1, 0),
-        jnp.moveaxis(buckets.z, 1, 0),
-    )
-    _, (sx, sy, sz) = jax.lax.scan(per_window, None, seq)  # [W, L, c, R]
+    # Weighted bucket reduction, all windows batched along a W axis (a
+    # per-window scan would serialize W short tree reductions).
+    idx = np.arange(B)
+    masks = np.stack([(idx >> j) & 1 for j in range(c)]).astype(bool)  # [c,B]
+    shape = (FP_LIMBS, n_windows, c, B)
+    ps = cv.tree_sum_fast(
+        G1Jac(
+            jnp.broadcast_to(buckets.x[:, :, None, :], shape),
+            jnp.broadcast_to(buckets.y[:, :, None, :], shape),
+            jnp.where(masks[None, None], buckets.z[:, :, None, :], 0),
+        ),
+        stop=32,
+    )  # [L, W, c, R]
+    sx = jnp.moveaxis(ps.x, 0, 1)  # [W, L, c, R]
+    sy = jnp.moveaxis(ps.y, 0, 1)
+    sz = jnp.moveaxis(ps.z, 0, 1)
     r = sx.shape[-1]
+
+    # A split window's slot index is d*s_w + j: its weighted sum over
+    # slot-index bits equals s_w * (sum over d) + (parts mixture), so
+    # the true per-bucket weight d is recovered by DROPPING the low
+    # log2(s_w) bit-partial-sums and shifting the rest down — exact,
+    # because sum_slots (slot>>k)*acc == sum_{b>=k} 2^(b-k) P_b.
+    def shift_terms(a):
+        # a: [W, L, c, R]; per window w roll its c bit-terms down by
+        # (c - eff_bits[w]) and zero the vacated top terms (jac zeros
+        # are the identity convention).
+        rows = []
+        for w in range(n_windows):
+            k = c - eff_bits[w]
+            if k == 0:
+                rows.append(a[w])
+            else:
+                zero = jnp.zeros_like(a[w, :, :k])
+                rows.append(jnp.concatenate([a[w, :, k:], zero], axis=1))
+        return jnp.stack(rows)
+
+    if any(k != 1 for k in splits):
+        sx, sy, sz = shift_terms(sx), shift_terms(sy), shift_terms(sz)
 
     def to_terms(a):
         return jnp.moveaxis(a, 0, 1).reshape(FP_LIMBS, n_windows * c, r)
