@@ -77,6 +77,21 @@ def _div_linear(coeffs_m, x_m):
     return jnp.moveaxis(qs, 0, -1)[..., ::-1]  # [L, M-1], ascending
 
 
+def prove_in_specs(axis: str = "workers"):
+    """PartitionSpecs for build_distributed_prove's arguments, in order.
+
+    Exported so multi-host drivers (parallel.multihost) can construct
+    identically-sharded global arrays from process-local data."""
+    return (
+        P(None, axis, None), P(None, axis, None), P(axis, None),  # U shard
+        P(None, None), P(None, None), P(None),                     # g_tau_y
+        P(None, axis, None),                                       # coeffs
+        P(None, None), P(None, None),                              # alpha, beta
+        P(None, None), P(None, None),                              # roots
+        P(None, None),                                             # t_inv
+    )
+
+
 def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
     """Returns a jitted SPMD function
 
@@ -121,14 +136,7 @@ def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(
-            P(None, axis, None), P(None, axis, None), P(axis, None),  # U shard
-            P(None, None), P(None, None), P(None),                     # g_tau_y
-            P(None, axis, None),                                       # coeffs
-            P(None, None), P(None, None),                              # alpha, beta
-            P(None, None), P(None, None),                              # roots
-            P(None, None),                                             # t_inv
-        ),
+        in_specs=prove_in_specs(axis),
         out_specs={
             "master_com": (P(None), P(None), P(None)),
             "z": P(None),

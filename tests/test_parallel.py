@@ -83,3 +83,16 @@ def test_distributed_prove(ndev, rng):
 
     # and the aggregate proof verifies
     assert backend.master_verify(master_com, beta, alpha, z, (pi0, pi1))
+
+
+@pytest.mark.e2e
+def test_multihost_prove():
+    """Multi-host wiring (SURVEY.md §7.8b): two fake-host processes join a
+    jax.distributed cluster over localhost, run the prove round as one
+    SPMD program whose master aggregation is a cross-process collective,
+    and each process asserts the results against the host protocol path.
+    The reference's deployment analog is one server per machine with the
+    client shuttling bytes (reference src/rpc.rs:866-875)."""
+    from fourier_tpu.parallel.multihost import spawn_dryrun
+
+    spawn_dryrun(n_processes=2, scale=5, machines_scale=2)
