@@ -162,24 +162,32 @@ class PianoPrecompute:
     """BGMW-style window tables (analog of kzg::msm::precompute tables used
     at reference src/engine/piano.rs:150,157,294).
 
-    Measured crossover on TPU v5e: the single-pass table MSM wins up to
-    ~2M table points (+26% at T=2^16), but at T=2^19 the per-MSM sorted
-    gather of the multi-GB table costs more than the per-window trees it
-    saves — so larger rows skip the table and use the tableless kernel."""
+    On TPU backends the tables feed the shared-bucket fused MSM
+    (ops.msm_fused.msm_fused_bgmw): all W*n (window, point) pairs of an
+    expanded table accumulate into ONE set of 2^c buckets, cutting both
+    the window count (c=16 -> 16 windows vs 20 tableless) and the bucket
+    reduction (one instead of W).  Measured at T=2^19 on one v5e chip:
+    309k pts/s tabled vs 247k tableless.  The packed word form the
+    kernel consumes is derived lazily per table and cached."""
 
     c: int
     g1_tau_y: G1Aff | None        # [L, W*M]
     u_rows: list                   # per-row G1Aff [L, W*T] or None
+    _packed: dict = field(default_factory=dict, repr=False)
 
-    # measured crossover: above ~2M table points the sorted-gather traffic
-    # of the expanded table outweighs the saved bucket reductions
-    MAX_TABLE_POINTS = 1 << 21
+    # Memory guard: a table is W*n points x 96 B (e.g. 1.6 GB for the
+    # whole U matrix at scale 20).  Beyond this many points per table the
+    # row falls back to the tableless kernel rather than risk HBM.
+    MAX_TABLE_POINTS = 1 << 25
 
     @staticmethod
     def window_for(n: int) -> int:
-        """Table window: large rows get the full c=13 (one fat bucket pass),
-        tiny rows a small window."""
-        return 13 if n >= (1 << 12) else 8
+        """Table window: balance accumulation adds against the single
+        bucket reduction (ops.msm_fused.bgmw_auto_window); tiny rows keep
+        a small window so 2^c cannot dwarf the row."""
+        from ..ops import msm_fused as mf
+
+        return mf.bgmw_auto_window(n) if n >= (1 << 12) else 8
 
     @staticmethod
     def generate(settings: PianoSettings, c: int | None = None) -> "PianoPrecompute":
@@ -198,11 +206,28 @@ class PianoPrecompute:
         u_rows = [expand(settings.u_row(i)) for i in range(m)]
         return PianoPrecompute(c=c, g1_tau_y=g1_tau_y, u_rows=u_rows)
 
+    def packed_for(self, key, table: G1Aff):
+        """Packed word form of a table (ops.msm_fused.pack_points), cached
+        per table so serving pays the interleave once."""
+        if key not in self._packed:
+            from ..ops import msm_fused as mf
 
-def _msm_dispatch(points: G1Aff, scalars, table: G1Aff | None, c: int):
+            self._packed[key] = mf.pack_points(table)
+        return self._packed[key]
+
+
+def _msm_dispatch(points: G1Aff, scalars, table: G1Aff | None, c: int,
+                  packed=None):
     """MSM with optional BGMW table; small sizes take the naive batched path."""
+    from ..ops import pallas_curve as pcv
+
     n = points.x.shape[-1]
     if table is not None:
+        if pcv.enabled():
+            from ..ops import msm_fused as mf
+
+            pk = packed if packed is not None else mf.pack_points(table)
+            return mf.msm_fused_bgmw(pk, table.inf, scalars, c)
         return msm_mod.msm_bgmw(table, scalars, c)
     if n <= 64:
         return msm_mod.msm_naive(points, scalars)
@@ -372,7 +397,8 @@ class PianoBackend:
             raise ValueError(f"machine index {i} out of range")
         sc = self._coeffs_to_device(coeffs)
         table = self._u_table(i)
-        out = _msm_dispatch(self.settings.u_row(i), sc, table, self._table_c())
+        out = _msm_dispatch(self.settings.u_row(i), sc, table, self._table_c(),
+                            packed=self._u_packed(i, table))
         return cv.jac_to_int_points(_lift(out))[0]
 
     def worker_open(self, i: int, coeffs, alpha: int):
@@ -394,7 +420,8 @@ class PianoBackend:
         y = vec_to_int(FR.from_mont(y_m))
         qhat = FR.from_mont(qhat_m)
         table = self._u_table(i)
-        pi = _msm_dispatch(self.settings.u_row(i), qhat, table, self._table_c())
+        pi = _msm_dispatch(self.settings.u_row(i), qhat, table, self._table_c(),
+                           packed=self._u_packed(i, table))
         return y, cv.jac_to_int_points(_lift(pi))[0]
 
     def _worker_open_coeff_fallback(self, i: int, sc, alpha: int):
@@ -404,7 +431,8 @@ class PianoBackend:
         q_hat = self.fft.fft_left(q + [0] * (self.fft.T - len(q)), False)
         sc_q = jnp.asarray(ints_to_vec(q_hat, FR_LIMBS))
         table = self._u_table(i)
-        pi = _msm_dispatch(self.settings.u_row(i), sc_q, table, self._table_c())
+        pi = _msm_dispatch(self.settings.u_row(i), sc_q, table, self._table_c(),
+                           packed=self._u_packed(i, table))
         return y, cv.jac_to_int_points(_lift(pi))[0]
 
     def worker_verify(self, i: int, commitment, alpha: int, y: int, pi) -> bool:
@@ -462,6 +490,11 @@ class PianoBackend:
         if pc is None or i >= len(pc.u_rows):
             return None
         return pc.u_rows[i]
+
+    def _u_packed(self, i: int, table):
+        if table is None:
+            return None
+        return self.settings.precompute.packed_for(("u", i), table)
 
     # -- construction ------------------------------------------------------
 

@@ -318,7 +318,7 @@ def bgmw_expand(points: G1Aff, c: int) -> G1Aff:
     jac = cv.from_affine(points)
     xs, ys, infs = [], [], []
     for w in range(n_windows):
-        aff = cv.to_affine(jac)
+        aff = cv.to_affine_batched(jac)
         xs.append(aff.x)
         ys.append(aff.y)
         infs.append(aff.inf)

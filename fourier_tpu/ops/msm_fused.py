@@ -144,7 +144,7 @@ def _accum_kernel(vk_ref, ti_ref, consts, spw, sinf, ax_in, ay_in, az_in,
 
     sx, sy = _unpack_words(spw[...])
     inf_lane = jnp.squeeze(sinf[...], axis=0).astype(bool)
-    rx, ry, rz, col = pc._madd_values_incomplete(
+    rx, ry, rz, col = pc._madd_values_incomplete_lazy(
         f, ox[...], oy[...], oz[...], sx, sy, inf_lane
     )
     ox[...] = rx
@@ -244,10 +244,10 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
 # Slab construction + round loop
 # ---------------------------------------------------------------------------
 
-def _grid_size(n: int, w: int, n_tiles: int) -> int:
+def _grid_size(total_adds: int, n_tiles: int) -> int:
     """Static grid: one mandatory block per tile (accumulator carry) plus
     SLACK x the mean load in extra rows."""
-    return n_tiles + int(np.ceil(SLACK * w * n / BTILE))
+    return n_tiles + int(np.ceil(SLACK * total_adds / BTILE))
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -274,7 +274,7 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     n_windows, eff_bits, splits = _window_plan(c)
     n_tiles = -(-(n_windows * B) // BTILE)
     BT = n_tiles * BTILE
-    G = _grid_size(n, n_windows, n_tiles)
+    G = _grid_size(n * n_windows, n_tiles)
 
     digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
     # Points at infinity contribute nothing: fold them into the excluded
@@ -308,16 +308,145 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     )                                                            # into order_flat
     strides = jnp.broadcast_to(s_arr, (n_windows, B))
 
-    pad = BT - n_windows * B
-    counts_flat = jnp.concatenate(
-        [counts.reshape(-1), jnp.zeros((pad,), jnp.int32)]
+    acc, inv_csort = _slab_rounds(
+        packed, inf, order.reshape(-1),
+        counts.reshape(-1), starts.reshape(-1), strides.reshape(-1),
+        n_tiles, G,
     )
-    starts_flat = jnp.concatenate(
-        [starts.reshape(-1), jnp.zeros((pad,), jnp.int32)]
+
+    # Un-permute slots back to canonical (window, slot) order.
+    canon = inv_csort[: n_windows * B]
+    buckets = G1Jac(
+        jnp.take(acc.x, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
+        jnp.take(acc.y, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
+        jnp.take(acc.z, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
     )
-    strides_flat = jnp.concatenate(
-        [strides.reshape(-1), jnp.ones((pad,), jnp.int32)]
+
+    # Weighted bucket reduction, all windows batched along a W axis (a
+    # per-window scan would serialize W short tree reductions).
+    idx = np.arange(B)
+    masks = np.stack([(idx >> j) & 1 for j in range(c)]).astype(bool)  # [c,B]
+    shape = (FP_LIMBS, n_windows, c, B)
+    ps = cv.tree_sum_fast(
+        G1Jac(
+            jnp.broadcast_to(buckets.x[:, :, None, :], shape),
+            jnp.broadcast_to(buckets.y[:, :, None, :], shape),
+            jnp.where(masks[None, None], buckets.z[:, :, None, :], 0),
+        ),
+        stop=32,
+    )  # [L, W, c, R]
+    sx = jnp.moveaxis(ps.x, 0, 1)  # [W, L, c, R]
+    sy = jnp.moveaxis(ps.y, 0, 1)
+    sz = jnp.moveaxis(ps.z, 0, 1)
+    r = sx.shape[-1]
+
+    # A split window's slot index is d*s_w + j: its weighted sum over
+    # slot-index bits equals s_w * (sum over d) + (parts mixture), so
+    # the true per-bucket weight d is recovered by DROPPING the low
+    # log2(s_w) bit-partial-sums and shifting the rest down — exact,
+    # because sum_slots (slot>>k)*acc == sum_{b>=k} 2^(b-k) P_b.
+    def shift_terms(a):
+        # a: [W, L, c, R]; per window w roll its c bit-terms down by
+        # (c - eff_bits[w]) and zero the vacated top terms (jac zeros
+        # are the identity convention).
+        rows = []
+        for w in range(n_windows):
+            k = c - eff_bits[w]
+            if k == 0:
+                rows.append(a[w])
+            else:
+                zero = jnp.zeros_like(a[w, :, :k])
+                rows.append(jnp.concatenate([a[w, :, k:], zero], axis=1))
+        return jnp.stack(rows)
+
+    if any(k != 1 for k in splits):
+        sx, sy, sz = shift_terms(sx), shift_terms(sy), shift_terms(sz)
+
+    def to_terms(a):
+        return jnp.moveaxis(a, 0, 1).reshape(FP_LIMBS, n_windows * c, r)
+
+    return msm_mod._horner_2k(G1Jac(to_terms(sx), to_terms(sy), to_terms(sz)))
+
+
+def bgmw_auto_window(n: int) -> int:
+    """Window size for the shared-bucket (BGMW-table) MSM: balance the
+    accumulation adds ceil(256/c)*n against the bucket-reduction work
+    ~c*2^(c-1); at the production per-worker size (2^19) this lands on
+    c=16 (16 windows, 2^16 shared buckets)."""
+    best, best_cost = 8, None
+    for c in range(8, 19):
+        cost = -(-256 // c) * n + (c << (c - 1))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+@partial(jax.jit, static_argnums=(3,))
+def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
+    """Shared-bucket MSM over a BGMW-expanded fixed-base table.
+
+    packed_table: [W*n, FP_LIMBS] packed words of T[w*n + i] =
+    (2^(c*w)) * P_i (pack_points over ops.msm.bgmw_expand output).  All
+    W*n (window, point) pairs accumulate into ONE set of 2^c buckets —
+    no per-window bucket spaces, one bucket reduction, zero doublings in
+    the combine beyond the c-bit Horner.  The TPU analog of the
+    reference's BGMW precompute path (kzg::msm::precompute behind
+    src/engine/piano.rs:150 via PrecomputationTable,
+    piano.rs:469-515).
+    """
+    from . import msm as msm_mod
+
+    WN = packed_table.shape[0]
+    n = scalars.shape[-1]
+    n_windows = WN // n
+    B = 1 << c
+    n_tiles = -(-B // BTILE)
+    BT = n_tiles * BTILE
+    G = _grid_size(WN, n_tiles)
+
+    digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
+    digits_flat = jnp.where(table_inf, 0, digits.reshape(-1))   # [W*n]
+
+    order = jnp.argsort(digits_flat).astype(jnp.int32)
+    sd = digits_flat[order]
+    edges = jnp.searchsorted(
+        sd, jnp.arange(B + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = edges[1:] - edges[:-1]
+    counts = counts.at[0].set(0)                                 # drop digit 0
+    starts = edges[:-1]
+    strides = jnp.ones((B,), jnp.int32)
+
+    acc, inv_csort = _slab_rounds(
+        packed_table, table_inf, order, counts, starts, strides,
+        n_tiles, G,
     )
+    canon = inv_csort[:B]
+    buckets = G1Jac(
+        jnp.take(acc.x, canon, axis=-1),
+        jnp.take(acc.y, canon, axis=-1),
+        jnp.take(acc.z, canon, axis=-1),
+    )
+    s = msm_mod._bit_partial_sums(buckets, c)  # [L, c, R]
+    return msm_mod._horner_2k(s)
+
+
+def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
+                 strides_flat, n_tiles: int, G: int):
+    """Count-descending slot packing + the multi-round slab loop.
+
+    counts/starts/strides are per-slot (flat, any window structure);
+    returns the accumulator [L, n_tiles*BTILE] in packed-slot order and
+    the inverse permutation back to flat slot order."""
+    BT = n_tiles * BTILE
+    pad = BT - counts_flat.shape[0]
+    if pad:
+        counts_flat = jnp.concatenate(
+            [counts_flat, jnp.zeros((pad,), jnp.int32)])
+        starts_flat = jnp.concatenate(
+            [starts_flat, jnp.zeros((pad,), jnp.int32)])
+        strides_flat = jnp.concatenate(
+            [strides_flat, jnp.ones((pad,), jnp.int32)])
 
     # Count-descending slot packing.
     csort = jnp.argsort(-counts_flat).astype(jnp.int32)          # [BT]
@@ -325,7 +454,6 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     counts_slot = counts_flat[csort]
     starts_slot = starts_flat[csort]
     strides_slot = strides_flat[csort]
-    order_flat = order.reshape(-1)
 
     tile_of_slot = (
         jnp.arange(BT, dtype=jnp.int32) // BTILE
@@ -380,6 +508,15 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
         new_acc, flags = _run_accum_kernel(
             vk, tile_id, slab_pw, slab_inf, acc
         )
+        # The kernel works on lazy [0, 2N) representatives; canonicalize
+        # per round (3 conditional subtracts over [L, BT] — microseconds)
+        # so the complete-formula fallback and the combine always see
+        # canonical coordinates.
+        new_acc = G1Jac(
+            FP.canonicalize(new_acc.x),
+            FP.canonicalize(new_acc.y),
+            FP.canonicalize(new_acc.z),
+        )
         new_acc = jax.lax.cond(
             jnp.any(flags > 0),
             lambda _: _run_accum_fallback(
@@ -401,57 +538,4 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
         jnp.bool_(True),
     )
     state = jax.lax.while_loop(lambda s: s[-1], round_body, init)
-    acc = G1Jac(state[0], state[1], state[2])
-
-    # Un-permute slots back to canonical (window, slot) order.
-    canon = inv_csort[: n_windows * B]
-    buckets = G1Jac(
-        jnp.take(acc.x, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
-        jnp.take(acc.y, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
-        jnp.take(acc.z, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
-    )
-
-    # Weighted bucket reduction, all windows batched along a W axis (a
-    # per-window scan would serialize W short tree reductions).
-    idx = np.arange(B)
-    masks = np.stack([(idx >> j) & 1 for j in range(c)]).astype(bool)  # [c,B]
-    shape = (FP_LIMBS, n_windows, c, B)
-    ps = cv.tree_sum_fast(
-        G1Jac(
-            jnp.broadcast_to(buckets.x[:, :, None, :], shape),
-            jnp.broadcast_to(buckets.y[:, :, None, :], shape),
-            jnp.where(masks[None, None], buckets.z[:, :, None, :], 0),
-        ),
-        stop=32,
-    )  # [L, W, c, R]
-    sx = jnp.moveaxis(ps.x, 0, 1)  # [W, L, c, R]
-    sy = jnp.moveaxis(ps.y, 0, 1)
-    sz = jnp.moveaxis(ps.z, 0, 1)
-    r = sx.shape[-1]
-
-    # A split window's slot index is d*s_w + j: its weighted sum over
-    # slot-index bits equals s_w * (sum over d) + (parts mixture), so
-    # the true per-bucket weight d is recovered by DROPPING the low
-    # log2(s_w) bit-partial-sums and shifting the rest down — exact,
-    # because sum_slots (slot>>k)*acc == sum_{b>=k} 2^(b-k) P_b.
-    def shift_terms(a):
-        # a: [W, L, c, R]; per window w roll its c bit-terms down by
-        # (c - eff_bits[w]) and zero the vacated top terms (jac zeros
-        # are the identity convention).
-        rows = []
-        for w in range(n_windows):
-            k = c - eff_bits[w]
-            if k == 0:
-                rows.append(a[w])
-            else:
-                zero = jnp.zeros_like(a[w, :, :k])
-                rows.append(jnp.concatenate([a[w, :, k:], zero], axis=1))
-        return jnp.stack(rows)
-
-    if any(k != 1 for k in splits):
-        sx, sy, sz = shift_terms(sx), shift_terms(sy), shift_terms(sz)
-
-    def to_terms(a):
-        return jnp.moveaxis(a, 0, 1).reshape(FP_LIMBS, n_windows * c, r)
-
-    return msm_mod._horner_2k(G1Jac(to_terms(sx), to_terms(sy), to_terms(sz)))
+    return G1Jac(state[0], state[1], state[2]), inv_csort

@@ -71,3 +71,39 @@ def test_generator_and_neg():
     got = c.jac_to_int_points(g)[0]
     assert got == G1_GEN
     assert c.jac_to_int_points(c.neg(g))[0] == g1_neg(G1_GEN)
+
+
+def test_batch_inv_matches_fermat(rng):
+    """Chunked Montgomery batch inversion == per-lane Fermat inversion,
+    including zero lanes and a non-chunk-multiple lane count."""
+    import numpy as np
+
+    from fourier_tpu.constants import P
+    from fourier_tpu.ops import curve as cv
+    from fourier_tpu.ops.field import FP
+    from fourier_tpu.ops.limbs import ints_to_vec
+
+    n = 150
+    vals = [rng.randrange(1, P) for _ in range(n)]
+    vals[4] = 0
+    vals[77] = 0
+    a = FP.to_mont(jnp.asarray(ints_to_vec(vals, 24)))
+    want = np.asarray(FP.inv(a))
+    got = np.asarray(cv.batch_inv(a))
+    assert np.array_equal(got, want)
+
+
+def test_to_affine_batched_matches(rng):
+    import numpy as np
+
+    from fourier_tpu.constants import R
+    from fourier_tpu.ops import curve as cv
+    from fourier_tpu.refimpl.curve import G1_GEN, g1_mul
+
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(37)]
+    pts[5] = None
+    j = cv.dbl_fast(cv.from_affine(cv.affine_from_ints(pts)))
+    a1, a2 = cv.to_affine(j), cv.to_affine_batched(j)
+    for f in ("x", "y", "inf"):
+        assert np.array_equal(np.asarray(getattr(a1, f)),
+                              np.asarray(getattr(a2, f)))

@@ -177,6 +177,38 @@ def test_msm_fused_slab(rng):
         assert got_eq == want_eq
 
 
+def test_msm_fused_bgmw(rng):
+    """The shared-bucket fixed-base fused MSM (ops.msm_fused.msm_fused_bgmw
+    over a bgmw_expand table) vs the naive oracle, with identity points,
+    zero scalars, and the duplicated-point collision lane."""
+    from fourier_tpu.constants import FR_LIMBS
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.ops.limbs import ints_to_vec
+
+    n = 32
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    pts[5] = None
+    pts[9] = pts[8]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[3] = 0
+    scalars[9] = scalars[8]
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, FR_LIMBS))
+
+    c = 7
+    table = msm_mod.bgmw_expand(points, c)
+    packed = mf.pack_points(table)
+
+    import unittest.mock
+    with unittest.mock.patch.object(mf, "BTILE", 128):
+        want = cv.jac_to_int_points(msm_mod.msm_naive(points, sc))[0]
+        got = cv.jac_to_int_points(
+            mf.msm_fused_bgmw(packed, table.inf, sc, c)
+        )[0]
+        assert got == want
+
+
 def test_scan_sum_and_fold(rng):
     """tree_sum_fast's scan stages + fold_small vs a direct sum, on a
     width that is not a multiple of any stage (padding with identities)."""
