@@ -74,6 +74,9 @@ class Field:
         one0 = np.zeros(n_limbs, np.uint32)
         one0[0] = 1
         self.one0 = one0                                        # [L] == integer 1
+        # lazy-domain constants: 2N fits the limb radix for both fields
+        self.mod2_limbs = int_to_limbs(2 * modulus, n_limbs)    # [L]
+        self.compl_mod2 = (_MASK - self.mod2_limbs).astype(np.uint32)
         # Limb-embedding lowering: jnp.pad compiles fast under CPU/TPU XLA
         # but Mosaic rejects pad; Pallas kernel views flip this to
         # concatenate (see with_consts).
@@ -392,6 +395,102 @@ class Field:
         res = jax.lax.slice_in_dim(u, L, 2 * L, axis=0)
         return self._cond_sub_mod(res)
 
+    # -- lazy kernel domain: values in [0, 2N) ------------------------------
+    #
+    # With R = 2^(16L) > 4N, the Montgomery product of a, b < 2N satisfies
+    # (a*b + mN)/R < N(4N/R + 1) < 2N — so a whole chain of muls can stay
+    # in [0, 2N) with NO final conditional subtract per mul, and adds/subs
+    # reduce against 2N instead of N (same cost).  Zero then has two limb
+    # representatives {0, N}: kernel equality branches must use
+    # is_zero_lazy, and results are canonicalized once on kernel exit
+    # (canonicalize).  Used by the MSM accumulation kernel
+    # (ops.msm_fused), where the per-mul subtract and the full-width
+    # first carry are ~15% of the point-add cost.
+
+    def _cond_sub_mod2(self, a):
+        """Subtract 2N where a >= 2N (requires a < 4N)."""
+        compl = self._bshape(self.compl_mod2, a.ndim)
+        t = a + compl + self._bshape(self.one0, a.ndim)
+        limbs, ge = self._carry_with_overflow(t)
+        return jnp.where(ge[None], limbs, a)
+
+    def add_lazy(self, a, b):
+        return self._cond_sub_mod2(self._carry(a + b))
+
+    def sub_lazy(self, a, b):
+        # a - b + 2N  ==  a + ~b + 2N + 1  (mod 2^(16L))
+        t = (
+            a
+            + (b ^ _MASK)
+            + self._bshape(self.mod2_limbs, a.ndim)
+            + self._bshape(self.one0, a.ndim)
+        )
+        return self._cond_sub_mod2(self._carry(t))
+
+    def _check_lazy_ok(self):
+        # The [0, 2N) closure proof needs R > 4N: true for Fp (2^384 vs
+        # ~2^382.7) but NOT for Fr (2^256 vs ~2^256.9) — Fr kernels must
+        # stay canonical.
+        if 4 * self.modulus >= 1 << (LIMB_BITS * self.L):
+            raise ValueError(
+                "lazy domain requires 4N < 2^(16L); not satisfied for "
+                f"modulus ~2^{self.modulus.bit_length()}"
+            )
+
+    def mul_lazy(self, a, b):
+        """Montgomery product over [0, 2N) representatives.
+
+        Two structural savings vs `mul`: the first carry resolution only
+        covers the LOW half of the product columns (the value mod R is
+        all `m` needs; the final carry consumes the raw high columns,
+        whose sums stay under the 2^26 carry bound), and the trailing
+        conditional subtract is dropped entirely."""
+        self._check_lazy_ok()
+        if not self._use_wide():
+            return self._mul_rolled(a, b)  # canonical: a valid [0,2N) rep
+        L = self.L
+        a, b = jnp.broadcast_arrays(a, b)
+        acc = self._acc_products(a, b, 2 * L, truncate=False)
+        t_lo = self._carry(jax.lax.slice_in_dim(acc, 0, L, axis=0))
+        m = self._carry(
+            self._acc_products(
+                t_lo, self._bshape(self.nprime_limbs, a.ndim), L,
+                truncate=True,
+            )
+        )
+        mn = self._acc_products(m, self._bshape(self.mod_limbs, a.ndim),
+                                2 * L, truncate=False)
+        u = self._carry_wide(mn + acc)
+        return jax.lax.slice_in_dim(u, L, 2 * L, axis=0)
+
+    def square_lazy(self, a):
+        """mul_lazy(a, a) via the symmetric product pass."""
+        self._check_lazy_ok()
+        if not self._use_wide():
+            return self._mul_rolled(a, a)
+        L = self.L
+        acc = self._acc_square(a, 2 * L)
+        t_lo = self._carry(jax.lax.slice_in_dim(acc, 0, L, axis=0))
+        m = self._carry(
+            self._acc_products(
+                t_lo, self._bshape(self.nprime_limbs, a.ndim), L,
+                truncate=True,
+            )
+        )
+        mn = self._acc_products(m, self._bshape(self.mod_limbs, a.ndim),
+                                2 * L, truncate=False)
+        u = self._carry_wide(mn + acc)
+        return jax.lax.slice_in_dim(u, L, 2 * L, axis=0)
+
+    def is_zero_lazy(self, a):
+        """Value == 0 for [0, 2N) representatives ({0, N} limb forms)."""
+        mod = self._bshape(self.mod_limbs, a.ndim)
+        return jnp.all(a == 0, axis=0) | jnp.all(a == mod, axis=0)
+
+    def canonicalize(self, a):
+        """[0, 2N) representative -> canonical [0, N)."""
+        return self._cond_sub_mod(a)
+
     # -- Montgomery domain conversions --------------------------------------
 
     @partial(jax.jit, static_argnums=0)
@@ -450,7 +549,7 @@ FP = Field(P, FP_LIMBS)
 # -- Pallas support: constants as kernel operands ---------------------------
 
 _CONST_FIELDS = ("mod_limbs", "nprime_limbs", "compl_mod", "one_mont",
-                 "r2_limbs", "one0")
+                 "r2_limbs", "one0", "mod2_limbs", "compl_mod2")
 
 
 def packed_consts(field: Field) -> np.ndarray:

@@ -378,6 +378,49 @@ def _madd_values_incomplete(f, x1, y1, z1, x2, y2, inf2):
     return x3, y3, z3, collision
 
 
+def _madd_values_incomplete_lazy(f, x1, y1, z1, x2, y2, inf2):
+    """_madd_values_incomplete over [0, 2N) representatives.
+
+    The accumulator (x1, y1, z1) may hold lazy representatives from the
+    previous grid step; the affine operand is canonical.  Every mul
+    skips its trailing conditional subtract and half its first carry
+    (field.mul_lazy) — together ~15% of the madd.  Equality branches use
+    the two-representative zero test; callers canonicalize kernel
+    outputs once on exit."""
+    ml = f.mul_lazy
+    sq = f.square_lazy
+    ad = f.add_lazy
+    sb = f.sub_lazy
+    z1z1 = sq(z1)
+    u2 = ml(x2, z1z1)
+    s2 = ml(ml(y2, z1), z1z1)
+    h = sb(u2, x1)
+    hh = sq(h)
+    i = ad(hh, hh)
+    i = ad(i, i)
+    j = ml(h, i)
+    rr = sb(s2, y1)
+    rr = ad(rr, rr)
+    v = ml(x1, i)
+    x3 = sb(sb(sq(rr), j), ad(v, v))
+    yj = ml(y1, j)
+    y3 = sb(ml(rr, sb(v, x3)), ad(yj, yj))
+    z3 = sb(sb(sq(ad(z1, h)), z1z1), hh)
+
+    p_inf = f.is_zero_lazy(z1)
+    collision = (
+        f.is_zero_lazy(h) & f.is_zero_lazy(rr) & ~p_inf & ~inf2
+    )
+    one = jnp.broadcast_to(f.one_mont[:, None], z1.shape).astype(jnp.uint32)
+    x3 = _select(p_inf, x2, x3)
+    y3 = _select(p_inf, y2, y3)
+    z3 = _select(p_inf, one, z3)
+    x3 = _select(inf2, x1, x3)
+    y3 = _select(inf2, y1, y3)
+    z3 = _select(inf2, z1, z3)
+    return x3, y3, z3, collision
+
+
 def _madd_inc_kernel(consts, x1, y1, z1, x2, y2, inf2, ox, oy, oz, oflag):
     f = with_consts(FP, consts[...], rolled=interpret())
     rx, ry, rz, col = _madd_values_incomplete(

@@ -98,3 +98,60 @@ def test_wide_square_formulation(rng):
         # and the wide general multiply agrees too
         mm = type(field).mul.__wrapped__(fv, a, a)
         assert vec_to_ints(field.from_mont(mm)) == got
+
+
+def test_lazy_kernel_ops(rng):
+    """The lazy [0, 2N) kernel domain (mul_lazy/square_lazy/add_lazy/
+    sub_lazy/is_zero_lazy): values stay below 2N, results are exact mod N
+    after canonicalize, and both zero representatives are recognized.
+    Exercised via a kernel-view field so the wide path runs on CPU."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fourier_tpu.ops.field import packed_consts, with_consts
+
+    import pytest as _pytest
+
+    # The lazy domain needs 4N < 2^(16L): holds for Fp only; Fr must
+    # refuse (its kernels stay canonical).
+    with _pytest.raises(ValueError):
+        with_consts(FR, jnp.asarray(packed_consts(FR))).mul_lazy(
+            jnp.zeros((FR.L, 1), jnp.uint32), jnp.zeros((FR.L, 1), jnp.uint32)
+        )
+
+    for field in (FP,):
+        N = field.modulus
+        fv = with_consts(field, jnp.asarray(packed_consts(field)))
+        # non-canonical representatives v + N alongside canonical ones
+        xs = [rng.randrange(N) for _ in range(6)] + [0, 1, N - 1]
+        ys = [rng.randrange(N) for _ in range(6)] + [N - 1, 0, 1]
+        a_reps = [x + N if i % 2 else x for i, x in enumerate(xs)]
+        b_reps = [y + N if i % 3 == 0 else y for i, y in enumerate(ys)]
+        a = jnp.asarray(ints_to_vec(a_reps, field.L))
+        b = jnp.asarray(ints_to_vec(b_reps, field.L))
+
+        def values(limbs):
+            out = vec_to_ints(jnp.asarray(limbs))
+            assert all(v < 2 * N for v in out), "left the [0, 2N) domain"
+            return [v % N for v in out]
+
+        # mul_lazy computes the Montgomery product abR^-1 mod N
+        rinv = pow(field.mont_r, -1, N)
+        got = values(fv.mul_lazy(a, b))
+        assert got == [x * y * rinv % N for x, y in zip(a_reps, b_reps)]
+        got = values(fv.square_lazy(a))
+        assert got == [x * x * rinv % N for x in a_reps]
+        assert values(fv.add_lazy(a, b)) == [
+            (x + y) % N for x, y in zip(a_reps, b_reps)
+        ]
+        assert values(fv.sub_lazy(a, b)) == [
+            (x - y) % N for x, y in zip(a_reps, b_reps)
+        ]
+        # both zero representatives recognized; nonzero values are not
+        zeros = jnp.asarray(ints_to_vec([0, N, 1, N + 1, N - 1], field.L))
+        assert np.asarray(fv.is_zero_lazy(zeros)).tolist() == [
+            True, True, False, False, False
+        ]
+        # canonicalize brings any representative below N
+        canon = vec_to_ints(field.canonicalize(a))
+        assert canon == [x % N for x in a_reps]
