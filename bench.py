@@ -167,6 +167,31 @@ def main() -> None:
         except Exception:
             pass
 
+    from fourier_tpu.ops import msm_fused as mf
+
+    def bgmw_table(scale: int, points: G1Aff):
+        """BGMW-expanded packed table (the production worker_commit
+        config: reference benches/piano.rs benches worker_commit WITH
+        precompute as its primary case).  Disk-cached; built fresh only
+        when the budget allows (~1 min at 2^19)."""
+        n = 1 << scale
+        c = mf.bgmw_auto_window(n)
+        path = os.path.join(_points_cache_dir(), f"bgmw_{scale}_{c}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                packed = jnp.asarray(z["packed"])
+            _log(f"bgmw table 2^{scale} c={c} loaded from cache")
+            return packed, c
+        if remaining() < 240:
+            _log(f"skip bgmw table build: {remaining():.0f}s left")
+            return None, c
+        _log(f"expanding bgmw table c={c} ...")
+        table = msm_mod.bgmw_expand(points, c)
+        packed = mf.pack_points(table)
+        np.savez(path, packed=np.asarray(packed))
+        _log("bgmw table built + cached")
+        return packed, c
+
     for scale in ladder:
         n = 1 << scale
         probe = G1Aff(
@@ -191,35 +216,59 @@ def main() -> None:
         scalars = jnp.asarray(_canonical_scalars(rng, n))
         _log("scalars ready")
 
+        # Candidate paths, fastest production config first: the tabled
+        # shared-bucket MSM (worker_commit with precompute), then the
+        # tableless kernel.  Whichever wins becomes the reported number;
+        # both measure the same op as the reference's bench
+        # (benches/piano.rs:41-63 measures both configs).
+        runners = []
+        packed, c_tab = bgmw_table(scale, points)
+        if packed is not None:
+            tab_inf = jnp.zeros((packed.shape[0],), bool)
+            exe_t = aot.get_or_build(
+                f"msm_bgmw_s{scale}", mf.msm_fused_bgmw,
+                (packed, tab_inf, scalars),
+                extra_key=f"c{c_tab}",
+                lower_args=(packed, tab_inf, scalars, c_tab),
+            )
+            runners.append(("bgmw", lambda sc: exe_t(packed, tab_inf, sc)))
         exe = aot.get_or_build(
             f"msm_s{scale}", msm_mod.msm, (points, scalars),
             extra_key="c0", lower_args=(points, scalars, 0),
         )
-        _log("executable ready")
-        out = exe(points, scalars)
-        sync(out.x if hasattr(out, "x") else out[0])
-        _log("warm run done")
+        runners.append(("tableless", lambda sc: exe(points, sc)))
+        _log("executables ready")
 
-        times = []
-        for i in range(iters):
-            sc = jnp.asarray(_canonical_scalars(rng, n))
-            sync(sc[:1, :1])
-            t0 = time.perf_counter()
-            out = exe(points, sc)
+        for name, run in runners:
+            out = run(scalars)
             sync(out.x if hasattr(out, "x") else out[0])
-            dt = time.perf_counter() - t0
-            times.append(dt)
-            value = n / min(times)
-            _RESULT = {
-                "metric": f"worker_commit_msm_2^{scale}_points_per_s",
-                "value": round(value, 1),
-                "unit": "points/s",
-                "vs_baseline": round(
-                    value / float(baseline_map.get(str(scale), value)), 4
-                ),
-            }
-            _log(f"iter {i}: {dt:.3f}s ({n/dt:.0f} pts/s)")
-            if remaining() < dt * 1.5:
+            _log(f"{name}: warm run done")
+
+            times = []
+            for i in range(iters):
+                sc = jnp.asarray(_canonical_scalars(rng, n))
+                sync(sc[:1, :1])
+                t0 = time.perf_counter()
+                out = run(sc)
+                sync(out.x if hasattr(out, "x") else out[0])
+                dt = time.perf_counter() - t0
+                times.append(dt)
+                value = n / min(times)
+                best_prev = (_RESULT or {}).get("value", 0)
+                if value > best_prev:
+                    _RESULT = {
+                        "metric": f"worker_commit_msm_2^{scale}_points_per_s",
+                        "value": round(value, 1),
+                        "unit": "points/s",
+                        "vs_baseline": round(
+                            value / float(
+                                baseline_map.get(str(scale), value)), 4
+                        ),
+                    }
+                _log(f"{name} iter {i}: {dt:.3f}s ({n/dt:.0f} pts/s)")
+                if remaining() < dt * 1.5:
+                    break
+            if remaining() < 30:
                 break
         break
 

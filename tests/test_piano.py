@@ -234,3 +234,27 @@ def test_save_and_load_precompute(tmp_path, rng):
     original = backend.worker_commit(0, coeffs)
     backend.settings.precompute = loaded
     assert backend.worker_commit(0, coeffs) == original
+
+
+def test_bipoly_algebra(rng):
+    """add/mul/scale surface of the bivariate oracle (reference
+    src/bipoly.rs:36-124): checked pointwise — algebra on coefficients
+    must commute with evaluation."""
+    def rand_poly(h, w):
+        return BivariatePolynomial(
+            [[rng.randrange(R) for _ in range(w)] for _ in range(h)]
+        )
+
+    a = rand_poly(3, 4)
+    b = rand_poly(2, 5)
+    k = rng.randrange(R)
+    for _ in range(4):
+        x, y = rng.randrange(R), rng.randrange(R)
+        assert a.add(b).eval(x, y) == (a.eval(x, y) + b.eval(x, y)) % R
+        assert a.mul(b).eval(x, y) == a.eval(x, y) * b.eval(x, y) % R
+        assert a.scale(k).eval(x, y) == k * a.eval(x, y) % R
+        assert BivariatePolynomial.zero().eval(x, y) == 0
+        # partial evaluations agree with the full one
+        from fourier_tpu.refimpl.poly import poly_eval
+        assert poly_eval(a.eval_x(x), y) == a.eval(x, y)
+        assert poly_eval(a.eval_y(y), x) == a.eval(x, y)
