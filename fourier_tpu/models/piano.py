@@ -441,11 +441,11 @@ class PianoBackend:
         if not 0 <= i < self.fft.M:
             return False
         r_coeffs = self.fft.right_lagrange_poly(i)
-        r_i_tau_y = rc.g1_msm(self.settings.g_tau_y_host, r_coeffs)
-        g_y_prime = rc.g1_mul(r_i_tau_y, y)
-        com_minus = rc.g1_sub(commitment, g_y_prime)
-        g2_tau_x_minus_alpha = rc.g2_sub(
-            self.settings.g2_tau_x, rc.g2_mul(self.settings.g2, alpha)
+        r_i_tau_y = rc.g1_msm_fast(self.settings.g_tau_y_host, r_coeffs)
+        g_y_prime = rc.g1_mul_fast(r_i_tau_y, y)
+        com_minus = rc.g1_sub_fast(commitment, g_y_prime)
+        g2_tau_x_minus_alpha = rc.g2_sub_fast(
+            self.settings.g2_tau_x, rc.g2_mul_fast(self.settings.g2, alpha)
         )
         return rp.pairings_verify_single(
             com_minus, self.settings.g2, pi, g2_tau_x_minus_alpha
@@ -466,17 +466,17 @@ class PianoBackend:
         coeffs = rpoly.ntt(evals, self.fft.m, inverse=True)
         z = rpoly.poly_eval(coeffs, beta)
         q = rpoly.poly_div_linear(coeffs, beta)
-        pi1 = rc.g1_msm(self.settings.g_tau_y_host[: len(q)], q)
+        pi1 = rc.g1_msm_fast(self.settings.g_tau_y_host[: len(q)], q)
         return z, (pi0, pi1)
 
     def master_verify(self, commitment, beta: int, alpha: int, z: int, pi) -> bool:
         """e(com - g^z, g2) == e(pi0, g2^{tau_X}-alpha g2) * e(pi1, g2^{tau_Y}-beta g2)
         (reference src/engine/piano.rs:393-420)."""
         pi0, pi1 = pi
-        com_minus_z = rc.g1_sub(commitment, rc.g1_mul(self.settings.g, z))
+        com_minus_z = rc.g1_sub_fast(commitment, rc.g1_mul_fast(self.settings.g, z))
         g2 = self.settings.g2
-        b12 = rc.g2_sub(self.settings.g2_tau_x, rc.g2_mul(g2, alpha))
-        b22 = rc.g2_sub(self.settings.g2_tau_y, rc.g2_mul(g2, beta))
+        b12 = rc.g2_sub_fast(self.settings.g2_tau_x, rc.g2_mul_fast(g2, alpha))
+        b22 = rc.g2_sub_fast(self.settings.g2_tau_y, rc.g2_mul_fast(g2, beta))
         return rp.pairings_verify(com_minus_z, g2, pi0, b12, pi1, b22)
 
     # -- precompute helpers ------------------------------------------------

@@ -69,9 +69,9 @@ class UnivariateKZG:
 
     def verify_proof_single(self, commitment, x: int, y: int, proof) -> bool:
         """e(com - g^y, g2) == e(pi, g2^{tau_X - x}) — Backend::verify_proof_single."""
-        com_minus_y = rc.g1_sub(commitment, rc.g1_mul(self.settings.g, y))
-        g2_tau_minus_x = rc.g2_sub(
-            self.settings.g2_tau_x, rc.g2_mul(self.settings.g2, x)
+        com_minus_y = rc.g1_sub_fast(commitment, rc.g1_mul_fast(self.settings.g, y))
+        g2_tau_minus_x = rc.g2_sub_fast(
+            self.settings.g2_tau_x, rc.g2_mul_fast(self.settings.g2, x)
         )
         return rp.pairings_verify_single(
             com_minus_y, self.settings.g2, proof, g2_tau_minus_x

@@ -89,6 +89,20 @@ def get_pairing_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
             u8p,
         ]
+        lib.fw_g1_msm.restype = ctypes.c_int
+        lib.fw_g1_msm.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, u8p,
+        ]
+        lib.fw_g1_add.restype = ctypes.c_int
+        lib.fw_g1_add.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, u8p,
+        ]
+        lib.fw_g2_mul.restype = ctypes.c_int
+        lib.fw_g2_mul.argtypes = [ctypes.c_char_p, ctypes.c_char_p, u8p]
+        lib.fw_g2_add.restype = ctypes.c_int
+        lib.fw_g2_add.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, u8p,
+        ]
         lib._fp_typed = True
     return lib
 
@@ -188,6 +202,75 @@ def pairings_check(pairs) -> bool | None:
     if rc < 0:
         return None
     return bool(rc)
+
+
+def _dec_g1(raw: bytes):
+    if not any(raw):
+        return None
+    return (int.from_bytes(raw[:48], "big"), int.from_bytes(raw[48:], "big"))
+
+
+def _dec_g2(raw: bytes):
+    if not any(raw):
+        return None
+    from ..refimpl.tower import Fp2
+
+    return (
+        Fp2(int.from_bytes(raw[:48], "big"),
+            int.from_bytes(raw[48:96], "big")),
+        Fp2(int.from_bytes(raw[96:144], "big"),
+            int.from_bytes(raw[144:], "big")),
+    )
+
+
+def g1_msm(points, scalars) -> "tuple | None | bool":
+    """sum_i k_i * P_i over affine int G1 points, or False when the
+    native library is unavailable (caller falls back to refimpl)."""
+    lib = get_pairing_lib()
+    if lib is None:
+        return False
+    from ..constants import R
+
+    pts = b"".join(_enc_g1(p) for p in points)
+    ks = b"".join((int(k) % R).to_bytes(32, "big") for k in scalars)
+    out = np.zeros(96, np.uint8)
+    lib.fw_g1_msm(pts, ks, len(points),
+                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return _dec_g1(out.tobytes())
+
+
+def g1_combine(a, b, negate_b: bool) -> "tuple | None | bool":
+    """a + b or a - b, or False when native is unavailable."""
+    lib = get_pairing_lib()
+    if lib is None:
+        return False
+    out = np.zeros(96, np.uint8)
+    lib.fw_g1_add(_enc_g1(a), _enc_g1(b), int(negate_b),
+                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return _dec_g1(out.tobytes())
+
+
+def g2_mul(q, k: int) -> "tuple | None | bool":
+    """k * Q for an affine Fp2 G2 point, or False when unavailable."""
+    lib = get_pairing_lib()
+    if lib is None:
+        return False
+    from ..constants import R
+
+    out = np.zeros(192, np.uint8)
+    lib.fw_g2_mul(_enc_g2(q), (int(k) % R).to_bytes(32, "big"),
+                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return _dec_g2(out.tobytes())
+
+
+def g2_combine(a, b, negate_b: bool) -> "tuple | None | bool":
+    lib = get_pairing_lib()
+    if lib is None:
+        return False
+    out = np.zeros(192, np.uint8)
+    lib.fw_g2_add(_enc_g2(a), _enc_g2(b), int(negate_b),
+                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return _dec_g2(out.tobytes())
 
 
 def pairing_value(p, q) -> list[int] | None:

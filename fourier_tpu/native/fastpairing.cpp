@@ -567,6 +567,188 @@ static bool miller_loop(Fp12& o, const Fp& px, const Fp& py,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Group arithmetic: Jacobian points over Fp (G1) and Fp2 (G2 twist),
+// generic via overloads.  Serves the verify-side host ops that were
+// Python stand-ins (refimpl g1_msm / g2_mul / point add): the analog of
+// the reference's blst scalar-mul calls at src/engine/piano.rs:321-347,
+// 402-410.
+// ---------------------------------------------------------------------------
+
+inline void fe_add(Fp& o, const Fp& a, const Fp& b) { fp_add(o, a, b); }
+inline void fe_sub(Fp& o, const Fp& a, const Fp& b) { fp_sub(o, a, b); }
+inline void fe_mul(Fp& o, const Fp& a, const Fp& b) { fp_mul(o, a, b); }
+inline void fe_sqr(Fp& o, const Fp& a) { fp_sqr(o, a); }
+inline void fe_neg(Fp& o, const Fp& a) { fp_neg(o, a); }
+inline bool fe_is_zero(const Fp& a) { return fp_is_zero(a); }
+inline bool fe_eq(const Fp& a, const Fp& b) { return fp_eq(a, b); }
+inline void fe_add(Fp2& o, const Fp2& a, const Fp2& b) { fp2_add(o, a, b); }
+inline void fe_sub(Fp2& o, const Fp2& a, const Fp2& b) { fp2_sub(o, a, b); }
+inline void fe_mul(Fp2& o, const Fp2& a, const Fp2& b) { fp2_mul(o, a, b); }
+inline void fe_sqr(Fp2& o, const Fp2& a) { fp2_sqr(o, a); }
+inline void fe_neg(Fp2& o, const Fp2& a) { fp2_neg(o, a); }
+inline bool fe_is_zero(const Fp2& a) { return fp2_is_zero(a); }
+inline bool fe_eq(const Fp2& a, const Fp2& b) { return fp2_eq(a, b); }
+
+template <typename F>
+struct JacPt {
+    F x, y, z;
+    bool inf;
+};
+
+template <typename F>
+static void jac_dbl(JacPt<F>& o, const JacPt<F>& p) {
+    if (p.inf) { o = p; return; }
+    F a, b, c, d, e, f, t, x3, y3, z3;
+    fe_sqr(a, p.x);
+    fe_sqr(b, p.y);
+    fe_sqr(c, b);
+    fe_add(t, p.x, b);
+    fe_sqr(t, t);
+    fe_sub(t, t, a);
+    fe_sub(t, t, c);
+    fe_add(d, t, t);               // D = 2((X+B)^2 - A - C)
+    fe_add(e, a, a);
+    fe_add(e, e, a);               // E = 3A
+    fe_sqr(f, e);
+    fe_add(t, d, d);
+    fe_sub(x3, f, t);              // X3 = F - 2D
+    fe_sub(t, d, x3);
+    fe_mul(y3, e, t);
+    fe_add(c, c, c); fe_add(c, c, c); fe_add(c, c, c);  // 8C
+    fe_sub(y3, y3, c);
+    fe_mul(z3, p.y, p.z);
+    fe_add(z3, z3, z3);
+    o.x = x3; o.y = y3; o.z = z3; o.inf = false;
+}
+
+template <typename F>
+static void jac_add(JacPt<F>& o, const JacPt<F>& p, const JacPt<F>& q) {
+    if (p.inf) { o = q; return; }
+    if (q.inf) { o = p; return; }
+    F z1z1, z2z2, u1, u2, s1, s2, t;
+    fe_sqr(z1z1, p.z);
+    fe_sqr(z2z2, q.z);
+    fe_mul(u1, p.x, z2z2);
+    fe_mul(u2, q.x, z1z1);
+    fe_mul(t, q.z, z2z2);
+    fe_mul(s1, p.y, t);
+    fe_mul(t, p.z, z1z1);
+    fe_mul(s2, q.y, t);
+    if (fe_eq(u1, u2)) {
+        if (fe_eq(s1, s2)) { jac_dbl(o, p); return; }
+        o.inf = true; return;      // P + (-P)
+    }
+    F h, i, j, rr, v, x3, y3, z3;
+    fe_sub(h, u2, u1);
+    fe_add(i, h, h);
+    fe_sqr(i, i);                  // I = (2H)^2
+    fe_mul(j, h, i);
+    fe_sub(rr, s2, s1);
+    fe_add(rr, rr, rr);
+    fe_mul(v, u1, i);
+    fe_sqr(x3, rr);
+    fe_sub(x3, x3, j);
+    fe_sub(x3, x3, v);
+    fe_sub(x3, x3, v);
+    fe_sub(t, v, x3);
+    fe_mul(y3, rr, t);
+    fe_mul(t, s1, j);
+    fe_add(t, t, t);
+    fe_sub(y3, y3, t);
+    fe_add(t, p.z, q.z);
+    fe_sqr(t, t);
+    fe_sub(t, t, z1z1);
+    fe_sub(t, t, z2z2);
+    fe_mul(z3, t, h);
+    o.x = x3; o.y = y3; o.z = z3; o.inf = false;
+}
+
+template <typename F>
+static void jac_mul_be(JacPt<F>& o, const JacPt<F>& p,
+                       const uint8_t* k, int64_t len) {
+    JacPt<F> r;
+    r.inf = true;
+    bool started = false;
+    for (int64_t i = 0; i < len; i++) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) jac_dbl(r, r);
+            if ((k[i] >> bit) & 1) {
+                jac_add(r, r, p);
+                started = true;
+            }
+        }
+    }
+    o = r;
+}
+
+inline void fe_inv(Fp& o, const Fp& a) { fp_inv(o, a); }
+inline void fe_inv(Fp2& o, const Fp2& a) { fp2_inv(o, a); }
+
+template <typename F>
+static void jac_affine(F& ox, F& oy, const JacPt<F>& p) {
+    F zi, zi2, zi3;
+    fe_inv(zi, p.z);
+    fe_sqr(zi2, zi);
+    fe_mul(zi3, zi2, zi);
+    fe_mul(ox, p.x, zi2);
+    fe_mul(oy, p.y, zi3);
+}
+
+static void fp_to_be(uint8_t* out, const Fp& a) {
+    Fp one_raw, canon;
+    memset(&one_raw, 0, sizeof(one_raw));
+    one_raw.v[0] = 1;
+    fp_mul(canon, a, one_raw);  // from Montgomery
+    for (int i = 0; i < 6; i++) {
+        uint64_t w = canon.v[5 - i];
+        for (int j = 0; j < 8; j++) out[i * 8 + j] = (w >> (56 - 8 * j)) & 0xff;
+    }
+}
+
+static bool g1_from_be(JacPt<Fp>& o, const uint8_t* b) {
+    bool inf = true;
+    for (int i = 0; i < 96 && inf; i++) inf = b[i] == 0;
+    o.inf = inf;
+    if (inf) return true;
+    fp_from_be(o.x, b);
+    fp_from_be(o.y, b + 48);
+    o.z = FP_ONE;
+    return true;
+}
+
+static void g1_to_be(uint8_t* out, const JacPt<Fp>& p) {
+    if (p.inf) { memset(out, 0, 96); return; }
+    Fp ax, ay;
+    jac_affine(ax, ay, p);
+    fp_to_be(out, ax);
+    fp_to_be(out + 48, ay);
+}
+
+static bool g2_from_be(JacPt<Fp2>& o, const uint8_t* b) {
+    bool inf = true;
+    for (int i = 0; i < 192 && inf; i++) inf = b[i] == 0;
+    o.inf = inf;
+    if (inf) return true;
+    fp_from_be(o.x.c0, b);
+    fp_from_be(o.x.c1, b + 48);
+    fp_from_be(o.y.c0, b + 96);
+    fp_from_be(o.y.c1, b + 144);
+    o.z.c0 = FP_ONE;
+    o.z.c1 = FP_ZERO;
+    return true;
+}
+
+static void g2_to_be(uint8_t* out, const JacPt<Fp2>& p) {
+    if (p.inf) { memset(out, 0, 192); return; }
+    Fp2 ax, ay;
+    jac_affine(ax, ay, p);
+    fp_to_be(out, ax.c0);
+    fp_to_be(out + 48, ax.c1);
+    fp_to_be(out + 96, ay.c0);
+    fp_to_be(out + 144, ay.c1);
+}
+
 extern "C" {
 
 // Product-of-pairings check: prod_i e(P_i, Q_i) == 1.
@@ -655,6 +837,64 @@ int fw_pairing(const uint8_t* g1, const uint8_t* g2,
                 out[48 * k + 8 * i + j] = (uint8_t)(w >> (8 * (7 - j)));
         }
     }
+    return 0;
+}
+
+// G1 MSM: out = sum_i scalars[i] * P_i.  Affine BE in/out (96 B per
+// point, all-zero = infinity); scalars 32-byte BE.  Double-and-add per
+// point — the verify path's MSMs are tiny (M <= 2^m points).
+int fw_g1_msm(const uint8_t* pts, const uint8_t* scalars, int64_t n,
+              uint8_t* out) {
+    init_constants();
+    JacPt<Fp> acc;
+    acc.inf = true;
+    for (int64_t i = 0; i < n; i++) {
+        JacPt<Fp> p, t;
+        g1_from_be(p, pts + 96 * i);
+        if (p.inf) continue;
+        jac_mul_be(t, p, scalars + 32 * i, 32);
+        jac_add(acc, acc, t);
+    }
+    g1_to_be(out, acc);
+    return 0;
+}
+
+// G1 linear combine of two points: out = a (+/-) b.
+int fw_g1_add(const uint8_t* a, const uint8_t* b, int negate_b,
+              uint8_t* out) {
+    init_constants();
+    JacPt<Fp> pa, pb;
+    g1_from_be(pa, a);
+    g1_from_be(pb, b);
+    if (negate_b && !pb.inf) fp_neg(pb.y, pb.y);
+    JacPt<Fp> r;
+    jac_add(r, pa, pb);
+    g1_to_be(out, r);
+    return 0;
+}
+
+// G2 scalar multiple: out = k * Q (192-byte BE affine, 32-byte BE k).
+int fw_g2_mul(const uint8_t* pt, const uint8_t* k, uint8_t* out) {
+    init_constants();
+    JacPt<Fp2> q, r;
+    g2_from_be(q, pt);
+    if (q.inf) { memset(out, 0, 192); return 0; }
+    jac_mul_be(r, q, k, 32);
+    g2_to_be(out, r);
+    return 0;
+}
+
+// G2 combine: out = a (+/-) b.
+int fw_g2_add(const uint8_t* a, const uint8_t* b, int negate_b,
+              uint8_t* out) {
+    init_constants();
+    JacPt<Fp2> pa, pb;
+    g2_from_be(pa, a);
+    g2_from_be(pb, b);
+    if (negate_b && !pb.inf) fp2_neg(pb.y, pb.y);
+    JacPt<Fp2> r;
+    jac_add(r, pa, pb);
+    g2_to_be(out, r);
     return 0;
 }
 

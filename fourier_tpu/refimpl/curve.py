@@ -338,3 +338,59 @@ def g2_deserialize(b: bytes) -> G2Point:
     if not g2_is_on_curve(pt):
         raise ValueError("point is not on the twist curve")
     return pt
+
+
+# ---------------------------------------------------------------------------
+# Native-dispatch wrappers (verify-side hot host ops)
+#
+# The exact Python functions above are the ground-truth oracle; these
+# `*_fast` forms route through the C++ group kernels
+# (fourier_tpu/native/fastpairing.cpp — the analog of the reference's
+# blst scalar-mul FFI at src/engine/piano.rs:321-347,402-410) and fall
+# back to the oracle when no toolchain is available.  Parity is pinned
+# by tests/test_native.py.
+# ---------------------------------------------------------------------------
+
+def g1_msm_fast(points, scalars) -> G1Point:
+    from .. import native
+
+    out = native.g1_msm(list(points), list(scalars))
+    if out is False:
+        return g1_msm(points, scalars)
+    return out
+
+
+def g1_mul_fast(pt: G1Point, k: int) -> G1Point:
+    from .. import native
+
+    out = native.g1_msm([pt], [k])
+    if out is False:
+        return g1_mul(pt, k)
+    return out
+
+
+def g1_sub_fast(p1: G1Point, p2: G1Point) -> G1Point:
+    from .. import native
+
+    out = native.g1_combine(p1, p2, negate_b=True)
+    if out is False:
+        return g1_sub(p1, p2)
+    return out
+
+
+def g2_mul_fast(pt: G2Point, k: int) -> G2Point:
+    from .. import native
+
+    out = native.g2_mul(pt, k)
+    if out is False:
+        return g2_mul(pt, k)
+    return out
+
+
+def g2_sub_fast(p1: G2Point, p2: G2Point) -> G2Point:
+    from .. import native
+
+    out = native.g2_combine(p1, p2, negate_b=True)
+    if out is False:
+        return g2_sub(p1, p2)
+    return out

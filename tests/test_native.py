@@ -129,3 +129,32 @@ def test_verify_single_served_native(plib, rng):
     b1, b2 = G1_GEN, g2_mul(G2_GEN, s)
     assert pairing.pairings_verify_single(a1, a2, b1, b2)
     assert not pairing.pairings_verify_single(g1_mul(G1_GEN, s + 1), a2, b1, b2)
+
+
+def test_native_group_ops_parity(rng):
+    """C++ G1/G2 group kernels == the exact Python oracle, including
+    identity points, zero scalars, and cancellation (P - P)."""
+    from fourier_tpu.constants import R
+    from fourier_tpu.refimpl.curve import (
+        G1_GEN, G2_GEN, g1_msm, g1_msm_fast, g1_mul, g1_mul_fast,
+        g1_sub, g1_sub_fast, g2_mul, g2_mul_fast, g2_sub, g2_sub_fast,
+    )
+
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(4)] + [None]
+    ks = [rng.randrange(R) for _ in range(5)]
+    ks[1] = 0
+    assert g1_msm_fast(pts, ks) == g1_msm(pts, ks)
+    assert g1_msm_fast([], []) is None
+    assert g1_mul_fast(pts[0], ks[0]) == g1_mul(pts[0], ks[0])
+    assert g1_mul_fast(None, 7) is None
+    assert g1_sub_fast(pts[0], pts[2]) == g1_sub(pts[0], pts[2])
+    assert g1_sub_fast(pts[0], pts[0]) is None
+
+    q1 = g2_mul(G2_GEN, rng.randrange(1, R))
+    q2 = g2_mul(G2_GEN, rng.randrange(1, R))
+    k = rng.randrange(R)
+    assert g2_mul_fast(q1, k) == g2_mul(q1, k)
+    assert g2_mul_fast(None, k) is None
+    assert g2_mul_fast(q1, 0) is None
+    assert g2_sub_fast(q1, q2) == g2_sub(q1, q2)
+    assert g2_sub_fast(q1, q1) is None
