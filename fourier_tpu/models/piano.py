@@ -286,13 +286,40 @@ def generate_trusted_setup(
     logger.debug("setup: fixed-base point generation on device")
     g = rc.G1_GEN
 
-    def fb(scalars):
-        sc = jnp.asarray(ints_to_vec(scalars, FR_LIMBS))
-        return cv.to_affine(msm_mod.fixed_base_msm(g, sc))
+    def fb(scalars, label):
+        """Chunked fixed-base generation: every chunk reuses ONE compiled
+        shape (the tail zero-pads; 0*G is the identity and is sliced
+        off), the affine conversion uses the chunked batch inversion,
+        and progress is logged per chunk — the analog of the reference's
+        percentage logging inside its setup loops
+        (src/engine/piano.rs:919-965)."""
+        chunk = 1 << 16
+        n = len(scalars)
+        if n <= chunk:
+            sc = jnp.asarray(ints_to_vec(scalars, FR_LIMBS))
+            return cv.to_affine_batched(msm_mod.fixed_base_msm(g, sc))
+        xs, ys, infs = [], [], []
+        for lo in range(0, n, chunk):
+            part = scalars[lo : lo + chunk]
+            if len(part) < chunk:
+                part = list(part) + [0] * (chunk - len(part))
+            sc = jnp.asarray(ints_to_vec(part, FR_LIMBS))
+            aff = cv.to_affine_batched(msm_mod.fixed_base_msm(g, sc))
+            keep = min(chunk, n - lo)
+            xs.append(aff.x[..., :keep])
+            ys.append(aff.y[..., :keep])
+            infs.append(aff.inf[..., :keep])
+            logger.info("setup %s: %d%% (%d/%d)", label,
+                        (lo + keep) * 100 // n, lo + keep, n)
+        return G1Aff(
+            jnp.concatenate(xs, axis=-1),
+            jnp.concatenate(ys, axis=-1),
+            jnp.concatenate(infs, axis=-1),
+        )
 
-    g_tau_x = timed("g_tau_x powers", lambda: fb(powers_x))
-    g_tau_y = timed("g_tau_y powers", lambda: fb(powers_y))
-    u_flat = timed("U matrix", lambda: fb(u_scalars))
+    g_tau_x = timed("g_tau_x powers", lambda: fb(powers_x, "g_tau_x"))
+    g_tau_y = timed("g_tau_y powers", lambda: fb(powers_y, "g_tau_y"))
+    u_flat = timed("U matrix", lambda: fb(u_scalars, "U matrix"))
     u = G1Aff(
         u_flat.x.reshape(u_flat.x.shape[0], M, T),
         u_flat.y.reshape(u_flat.y.shape[0], M, T),
