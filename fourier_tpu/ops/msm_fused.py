@@ -9,21 +9,19 @@ to ~2000 per-row gathers — and padded every bucket to the global max
 count (~1.6x slack).  This module restructures the whole accumulation:
 
 1. **Digits** for all windows at once (vector bit ops).
-2. **Sub-bucket splitting**: a window whose top bit exceeds the scalar
-   width has few effective buckets carrying huge loads (c=13 leaves the
-   top window 9 effective bits: 512 buckets x ~2k points at 2^19 —
-   which forced a serial tail through one accumulator tile).  Every
-   window is therefore laid out over the same 2^c slots, with window w
-   split s_w = 2^(c - eff_bits_w) ways: bucket d's points are dealt
-   round-robin over s_w adjacent slots (a strided gather), equalizing
-   slot loads across ALL W*2^c slots.  The combine re-weights split
-   windows by dropping their low log2(s_w) bit-partial-sums — exact,
-   zero extra cost.
-3. **Batched per-window sort** of digits (one XLA sort over [W, n]).
-4. **Count-descending slot packing**: all W*2^c slots (every window at
-   once) are ordered by descending load and packed into tiles of BTILE
-   slots.  Because tile-mates have near-equal counts, padding a tile to
-   its own max count costs ~2% (vs ~60% for a global max).
+2. **Batched per-window sort** of digits (one XLA sort over [W, n]).
+3. **Heavy-bucket splitting** (_split_heavy_slots): per-slot loads are
+   capped at 8x the mean; cap-sized chunks of heavy buckets fan out
+   over a spare slot region, carrying their source bucket index as a
+   dynamic combine weight.  This makes slot loads near-uniform for ANY
+   digit distribution — both the structural skew of the top window
+   (c=13 leaves it 9 effective bits: ~512 buckets x ~2k points at 2^19)
+   and adversarial concentration (all-equal scalars, a client-
+   controlled input via workerCommit).
+4. **Count-descending slot packing**: all slots (every window at once)
+   are ordered by descending load and packed into tiles of BTILE slots.
+   Because tile-mates have near-equal counts, padding a tile to its own
+   max count costs ~2% (vs ~60% for a global max).
 5. **One packed slab gather** builds a contiguous stream of point
    tiles: lane (tile t, row r, slot j) holds the r-th point of the j-th
    slot of tile t.  Points travel as 24 u32 words (two 16-bit limbs per
@@ -34,13 +32,14 @@ count (~1.6x slack).  This module restructures the whole accumulation:
    revisited across that tile's rows (scalar-prefetched tile ids drive
    the output index map).  The accumulator touches HBM once per tile,
    not once per row.  The point add is the *incomplete* (collision
-   flagged) formula from ops/pallas_curve; any flagged lane triggers an
-   exact re-run of the round under the complete formulas (`lax.cond`).
+   flagged) formula from ops/pallas_curve in the lazy [0, 2N) Montgomery
+   domain; any flagged lane triggers an exact re-run of the round under
+   the complete formulas (`lax.cond`).
 7. **Bounded slab + multi-round**: the slab has a static capacity of
-   ~1.06x the mean load; adversarially skewed digit distributions (a
-   client-controlled input via workerCommit) spill into further rounds
-   of the same program under a `while_loop` — worst case O(n*W) total
-   work, same as uniform.
+   ~1.06x the mean load; loads beyond it spill into further rounds of
+   the same program under a `while_loop`.  With splitting the round
+   count is ~ceil(total/capacity) for ANY input (simulate_rounds is the
+   tested guard).
 
 The jnp path in ops/msm.py remains the CPU/test reference; this module
 is exercised under the Pallas interpreter in the suite and dispatched on
@@ -84,14 +83,6 @@ _HALF = FP_LIMBS // 2
 def _exclusive_cumsum(x):
     c = jnp.cumsum(x)
     return jnp.concatenate([jnp.zeros((1,), x.dtype), c[:-1]])
-
-
-def _window_plan(c: int):
-    """Per-window effective bits and split factors (static)."""
-    n_windows = -(-SCALAR_BITS // c)
-    eff = [min(c, SCALAR_BITS - c * w) for w in range(n_windows)]
-    splits = [1 << (c - e) for e in eff]
-    return n_windows, eff, splits
 
 
 def pack_points(points: G1Aff):
@@ -260,6 +251,86 @@ def msm_fused(points: G1Aff, scalars, c: int) -> G1Jac:
     return msm_fused_packed(pack_points(points), points.inf, scalars, c)
 
 
+def _split_heavy_slots(counts, starts, cap: int, spare: int):
+    """Per-row heavy-bucket splitting: loads capped at `cap`.
+
+    counts/starts: [..., B] per-bucket loads and sorted-space starts.
+    A bucket with count > cap keeps its first `cap` points in its main
+    slot; each further cap-sized chunk is assigned to a slot of the
+    per-row spare region.  Returns (counts', starts', weights') shaped
+    [..., B + spare], where weights' is the originating bucket index of
+    every slot (the combine weight; 0 = contributes nothing).
+
+    This is what makes the slab's round count insensitive to the digit
+    distribution: adversarially concentrated loads (all-equal scalars, a
+    client-controlled input via workerCommit) fan out over spare slots
+    and pack into full tiles, so total work stays ~ceil(total/capacity)
+    rounds.  Callers size `spare >= total/cap` (the worst case)."""
+    B = counts.shape[-1]
+    extra = jnp.maximum((counts - 1) // cap, 0)            # chunks beyond main
+    cum_incl = jnp.cumsum(extra, axis=-1)                  # [..., B]
+    total_extra = cum_incl[..., -1:]
+
+    e = jnp.arange(spare, dtype=jnp.int32)
+    bshape = counts.shape[:-1]
+    e_b = jnp.broadcast_to(e, bshape + (spare,))
+
+    def find(row_cum, row_e):
+        return jnp.searchsorted(row_cum, row_e, side="right").astype(jnp.int32)
+
+    for _ in bshape:
+        find = jax.vmap(find)
+    j = find(cum_incl, e_b)                                # [..., spare]
+    j = jnp.clip(j, 0, B - 1)
+    cum_excl_j = jnp.take_along_axis(cum_incl - extra, j, axis=-1)
+    p = (e_b - cum_excl_j + 1).astype(jnp.int32)           # part index >= 1
+    valid = e_b < total_extra
+    cnt_j = jnp.take_along_axis(counts, j, axis=-1)
+    sp_counts = jnp.where(
+        valid, jnp.clip(cnt_j - p * cap, 0, cap), 0
+    ).astype(jnp.int32)
+    sp_starts = (jnp.take_along_axis(starts, j, axis=-1)
+                 + p * cap).astype(jnp.int32)
+    sp_weights = jnp.where(valid & (sp_counts > 0), j, 0)
+
+    idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32), bshape + (B,)
+    )
+    return (
+        jnp.concatenate([jnp.minimum(counts, cap), sp_counts], axis=-1),
+        jnp.concatenate([starts, sp_starts], axis=-1),
+        jnp.concatenate([idx, sp_weights], axis=-1),
+    )
+
+
+def _weighted_partial_sums(buckets: G1Jac, weights, c: int) -> G1Jac:
+    """[..., B'] buckets with dynamic per-slot weights -> [L, ..., c, R]
+    bit partial sums: generalizes msm._bit_partial_sums to runtime
+    weights (the split-slot combine: a spare slot carries its source
+    bucket's index as weight)."""
+    lead = buckets.x.shape[:-1]  # (L, ...) leading dims
+    Bp = buckets.x.shape[-1]
+    bits = jnp.arange(c, dtype=jnp.int32).reshape((1,) * (weights.ndim - 1)
+                                                  + (c, 1))
+    masks = ((weights[..., None, :] >> bits) & 1).astype(bool)
+    shape = lead + (c, Bp)
+    return cv.tree_sum_fast(
+        G1Jac(
+            jnp.broadcast_to(buckets.x[..., None, :], shape),
+            jnp.broadcast_to(buckets.y[..., None, :], shape),
+            jnp.where(masks[None], buckets.z[..., None, :], 0),
+        ),
+        stop=32,
+    )
+
+
+def _split_cap(total: int, n_buckets: int) -> int:
+    """Per-slot load cap: 8x the mean keeps random inputs split-free
+    (typical max ~ mean + 5*sqrt(mean)) while bounding the spare region
+    at n_buckets/8 slots."""
+    return 8 * max(1, -(-total // n_buckets))
+
+
 @partial(jax.jit, static_argnums=(3,))
 def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     """MSM over a pre-packed point table (see pack_points).
@@ -271,14 +342,16 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
 
     n = packed.shape[0]
     B = 1 << c
-    n_windows, eff_bits, splits = _window_plan(c)
-    n_tiles = -(-(n_windows * B) // BTILE)
-    BT = n_tiles * BTILE
+    n_windows = -(-SCALAR_BITS // c)
+    cap = _split_cap(n, B)
+    spare = max(BTILE // 8, -(-n // cap))
+    Bp = B + spare
+    n_tiles = -(-(n_windows * Bp) // BTILE)
     G = _grid_size(n * n_windows, n_tiles)
 
     digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
     # Points at infinity contribute nothing: fold them into the excluded
-    # digit-0 class (digit-0 slots are weighted by zero in the reduction).
+    # digit-0 class (weight-0 slots drop out of the reduction).
     digits = jnp.where(inf[None], 0, digits)
 
     order = jnp.argsort(digits, axis=-1).astype(jnp.int32)      # [W, n]
@@ -291,81 +364,38 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
         ).astype(jnp.int32)
     )(sd)                                                        # [W, B+1]
     cnt = edges[:, 1:] - edges[:, :-1]                           # [W, B]
-
-    # Sub-bucket layout: window w's bucket d is dealt over s_w adjacent
-    # slots (d*s_w + j), one point every s_w-th sorted position.
-    log_s = jnp.asarray([c - e for e in eff_bits], jnp.int32)[:, None]
-    s_arr = jnp.asarray(splits, jnp.int32)[:, None]              # [W, 1]
-    slot_i = jnp.arange(B, dtype=jnp.int32)[None, :]             # [1, B]
-    d_idx = slot_i >> log_s                                      # [W, B]
-    j_idx = slot_i & (s_arr - 1)
-    cnt_d = jnp.take_along_axis(cnt, d_idx, axis=-1)
-    counts = (cnt_d + s_arr - 1 - j_idx) // s_arr                # [W, B]
-    counts = jnp.where(d_idx == 0, 0, counts)                    # drop digit 0
+    cnt = cnt.at[:, 0].set(0)                                    # drop digit 0
     starts = (
-        jnp.take_along_axis(edges[:, :-1], d_idx, axis=-1) + j_idx
+        edges[:, :-1]
         + (jnp.arange(n_windows, dtype=jnp.int32) * n)[:, None]
     )                                                            # into order_flat
-    strides = jnp.broadcast_to(s_arr, (n_windows, B))
+
+    counts_s, starts_s, weights = _split_heavy_slots(cnt, starts, cap, spare)
 
     acc, inv_csort = _slab_rounds(
         packed, inf, order.reshape(-1),
-        counts.reshape(-1), starts.reshape(-1), strides.reshape(-1),
+        counts_s.reshape(-1), starts_s.reshape(-1),
         n_tiles, G,
     )
 
     # Un-permute slots back to canonical (window, slot) order.
-    canon = inv_csort[: n_windows * B]
+    canon = inv_csort[: n_windows * Bp]
     buckets = G1Jac(
-        jnp.take(acc.x, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
-        jnp.take(acc.y, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
-        jnp.take(acc.z, canon, axis=-1).reshape(FP_LIMBS, n_windows, B),
+        jnp.take(acc.x, canon, axis=-1).reshape(FP_LIMBS, n_windows, Bp),
+        jnp.take(acc.y, canon, axis=-1).reshape(FP_LIMBS, n_windows, Bp),
+        jnp.take(acc.z, canon, axis=-1).reshape(FP_LIMBS, n_windows, Bp),
     )
 
     # Weighted bucket reduction, all windows batched along a W axis (a
     # per-window scan would serialize W short tree reductions).
-    idx = np.arange(B)
-    masks = np.stack([(idx >> j) & 1 for j in range(c)]).astype(bool)  # [c,B]
-    shape = (FP_LIMBS, n_windows, c, B)
-    ps = cv.tree_sum_fast(
-        G1Jac(
-            jnp.broadcast_to(buckets.x[:, :, None, :], shape),
-            jnp.broadcast_to(buckets.y[:, :, None, :], shape),
-            jnp.where(masks[None, None], buckets.z[:, :, None, :], 0),
-        ),
-        stop=32,
-    )  # [L, W, c, R]
-    sx = jnp.moveaxis(ps.x, 0, 1)  # [W, L, c, R]
-    sy = jnp.moveaxis(ps.y, 0, 1)
-    sz = jnp.moveaxis(ps.z, 0, 1)
-    r = sx.shape[-1]
-
-    # A split window's slot index is d*s_w + j: its weighted sum over
-    # slot-index bits equals s_w * (sum over d) + (parts mixture), so
-    # the true per-bucket weight d is recovered by DROPPING the low
-    # log2(s_w) bit-partial-sums and shifting the rest down — exact,
-    # because sum_slots (slot>>k)*acc == sum_{b>=k} 2^(b-k) P_b.
-    def shift_terms(a):
-        # a: [W, L, c, R]; per window w roll its c bit-terms down by
-        # (c - eff_bits[w]) and zero the vacated top terms (jac zeros
-        # are the identity convention).
-        rows = []
-        for w in range(n_windows):
-            k = c - eff_bits[w]
-            if k == 0:
-                rows.append(a[w])
-            else:
-                zero = jnp.zeros_like(a[w, :, :k])
-                rows.append(jnp.concatenate([a[w, :, k:], zero], axis=1))
-        return jnp.stack(rows)
-
-    if any(k != 1 for k in splits):
-        sx, sy, sz = shift_terms(sx), shift_terms(sy), shift_terms(sz)
+    ps = _weighted_partial_sums(buckets, weights, c)  # [L, W, c, R]
+    r = ps.x.shape[-1]
 
     def to_terms(a):
-        return jnp.moveaxis(a, 0, 1).reshape(FP_LIMBS, n_windows * c, r)
+        return a.reshape(FP_LIMBS, n_windows * c, r)
 
-    return msm_mod._horner_2k(G1Jac(to_terms(sx), to_terms(sy), to_terms(sz)))
+    return msm_mod._horner_2k(G1Jac(to_terms(ps.x), to_terms(ps.y),
+                                    to_terms(ps.z)))
 
 
 def bgmw_auto_window(n: int) -> int:
@@ -400,8 +430,10 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
     n = scalars.shape[-1]
     n_windows = WN // n
     B = 1 << c
-    n_tiles = -(-B // BTILE)
-    BT = n_tiles * BTILE
+    cap = _split_cap(WN, B)
+    spare = max(BTILE // 8, -(-WN // cap))
+    Bp = B + spare
+    n_tiles = -(-Bp // BTILE)
     G = _grid_size(WN, n_tiles)
 
     digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
@@ -415,27 +447,65 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
     counts = edges[1:] - edges[:-1]
     counts = counts.at[0].set(0)                                 # drop digit 0
     starts = edges[:-1]
-    strides = jnp.ones((B,), jnp.int32)
+
+    counts_s, starts_s, weights = _split_heavy_slots(counts, starts,
+                                                     cap, spare)
 
     acc, inv_csort = _slab_rounds(
-        packed_table, table_inf, order, counts, starts, strides,
+        packed_table, table_inf, order, counts_s, starts_s,
         n_tiles, G,
     )
-    canon = inv_csort[:B]
+    canon = inv_csort[:Bp]
     buckets = G1Jac(
         jnp.take(acc.x, canon, axis=-1),
         jnp.take(acc.y, canon, axis=-1),
         jnp.take(acc.z, canon, axis=-1),
     )
-    s = msm_mod._bit_partial_sums(buckets, c)  # [L, c, R]
+    s = _weighted_partial_sums(buckets, weights, c)  # [L, c, R]
     return msm_mod._horner_2k(s)
 
 
+def simulate_rounds(counts, n_tiles: int, G: int) -> int:
+    """Host-side mirror of the round allocator: how many slab rounds the
+    while_loop will run for the given per-slot loads.
+
+    The guard against the round-1 skew cliff (an all-equal-scalar input
+    used to degrade the kernel to O(n) serial batched adds): every round
+    allocates `G - n_tiles` point-rows greedily across tiles, so the
+    round count is ~ceil(total_load / capacity) even for adversarial
+    digit distributions.  Tested in tests/test_msm.py."""
+    counts = np.asarray(counts, dtype=np.int64)
+    pad = n_tiles * BTILE - counts.shape[0]
+    if pad:
+        counts = np.concatenate([counts, np.zeros(pad, np.int64)])
+    counts = np.sort(counts)[::-1]  # count-descending slot packing
+    done = np.zeros_like(counts)
+    avail = G - n_tiles
+    rounds = 0
+    while np.any(done < counts):
+        rem = (counts - done).reshape(n_tiles, BTILE)
+        r_tile = rem.max(axis=1)
+        extra_req = np.maximum(r_tile - 1, 0)
+        cum = np.concatenate([[0], np.cumsum(extra_req)[:-1]])
+        r_alloc = 1 + np.clip(avail - cum, 0, extra_req)
+        done = done + np.clip(
+            (counts - done),
+            0,
+            np.repeat(r_alloc, BTILE),
+        )
+        rounds += 1
+        if rounds > 10_000:  # allocator bug guard
+            raise RuntimeError("slab allocator failed to converge")
+    return rounds
+
+
 def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
-                 strides_flat, n_tiles: int, G: int):
+                 n_tiles: int, G: int):
     """Count-descending slot packing + the multi-round slab loop.
 
-    counts/starts/strides are per-slot (flat, any window structure);
+    counts/starts are per-slot (flat, any window structure: slot loads
+    are pre-capped by _split_heavy_slots, so sorted-space runs are
+    contiguous);
     returns the accumulator [L, n_tiles*BTILE] in packed-slot order and
     the inverse permutation back to flat slot order."""
     BT = n_tiles * BTILE
@@ -445,15 +515,12 @@ def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
             [counts_flat, jnp.zeros((pad,), jnp.int32)])
         starts_flat = jnp.concatenate(
             [starts_flat, jnp.zeros((pad,), jnp.int32)])
-        strides_flat = jnp.concatenate(
-            [strides_flat, jnp.ones((pad,), jnp.int32)])
 
     # Count-descending slot packing.
     csort = jnp.argsort(-counts_flat).astype(jnp.int32)          # [BT]
     inv_csort = jnp.argsort(csort).astype(jnp.int32)
     counts_slot = counts_flat[csort]
     starts_slot = starts_flat[csort]
-    strides_slot = strides_flat[csort]
 
     tile_of_slot = (
         jnp.arange(BT, dtype=jnp.int32) // BTILE
@@ -494,8 +561,7 @@ def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
         rank = done[slot] + row_id[:, None]                      # [G, BTILE]
         valid = (row_id[:, None] >= 0) & (rank < counts_slot[slot])
         src_pos = jnp.clip(
-            starts_slot[slot] + rank * strides_slot[slot],
-            0, order_flat.shape[0] - 1,
+            starts_slot[slot] + rank, 0, order_flat.shape[0] - 1,
         )
         src = jnp.where(valid, order_flat[src_pos], 0).reshape(-1)
 

@@ -59,3 +59,47 @@ def test_fixed_base_msm(rng):
 def _single(p):
     """Wrap a batch-() Jacobian point into a batch-(1,) one."""
     return c.G1Jac(p.x[..., None], p.y[..., None], p.z[..., None])
+
+
+def test_fused_slab_round_bound():
+    """Adversarially skewed digits cannot degrade the fused MSM to serial
+    adds (the round-1 cliff): after heavy-bucket splitting, the slab
+    allocator's round count stays ~ceil(total/capacity) for worst-case
+    load shapes at production size."""
+    import numpy as np
+
+    from fourier_tpu.ops import msm_fused as mf
+
+    n, c = 1 << 19, 13
+    W = -(-mf.SCALAR_BITS // c)
+    B = 1 << c
+    cap = mf._split_cap(n, B)
+    spare = max(mf.BTILE // 8, -(-n // cap))
+    Bp = B + spare
+    n_tiles = -(-(W * Bp) // mf.BTILE)
+    G = mf._grid_size(W * n, n_tiles)
+    capacity = (G - n_tiles) * mf.BTILE
+
+    def rounds(per_window_counts):
+        counts = jnp.asarray(per_window_counts, jnp.int32)  # [W, B]
+        starts = jnp.zeros_like(counts)
+        counts_s, _, _ = mf._split_heavy_slots(counts, starts, cap, spare)
+        return mf.simulate_rounds(np.asarray(counts_s).reshape(-1),
+                                  n_tiles, G)
+
+    # uniform random loads: one round
+    rng2 = np.random.default_rng(0)
+    uniform = rng2.multinomial(n, np.ones(B) / B, size=W)
+    assert rounds(uniform) == 1
+
+    # all scalars equal: one bucket per window swallows everything
+    skew = np.zeros((W, B), np.int64)
+    skew[:, 1] = n
+    optimal = -(-(W * n) // capacity)
+    got = rounds(skew)
+    assert got <= optimal + 1, (got, optimal)
+
+    # single megabucket
+    one = np.zeros((W, B), np.int64)
+    one[0, 1] = n
+    assert rounds(one) <= -(-n // capacity) + 1
