@@ -557,11 +557,18 @@ def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
         )
 
         # Slab lane (g, j): row row_id[g] of slot tile_id[g]*BTILE + j.
-        slot = tile_id[:, None] * BTILE + jnp.arange(BTILE, dtype=jnp.int32)
-        rank = done[slot] + row_id[:, None]                      # [G, BTILE]
-        valid = (row_id[:, None] >= 0) & (rank < counts_slot[slot])
+        # Per-slot tables are read as 4KB tile ROWS (one take of G rows
+        # beats G*BTILE scattered element gathers).
+        done_rows = done.reshape(n_tiles, BTILE)
+        counts_rows = counts_slot.reshape(n_tiles, BTILE)
+        starts_rows = starts_slot.reshape(n_tiles, BTILE)
+        rank = (jnp.take(done_rows, tile_id, axis=0)
+                + row_id[:, None])                               # [G, BTILE]
+        valid = (row_id[:, None] >= 0) & (
+            rank < jnp.take(counts_rows, tile_id, axis=0))
         src_pos = jnp.clip(
-            starts_slot[slot] + rank, 0, order_flat.shape[0] - 1,
+            jnp.take(starts_rows, tile_id, axis=0) + rank,
+            0, order_flat.shape[0] - 1,
         )
         src = jnp.where(valid, order_flat[src_pos], 0).reshape(-1)
 
