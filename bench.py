@@ -201,6 +201,16 @@ def main() -> None:
         )
         sc_probe = jax.ShapeDtypeStruct((FR_LIMBS, n), jnp.uint32)
         warm = aot.exists(f"msm_s{scale}", (probe, sc_probe), extra_key="c0")
+        if not warm:
+            # the tabled path alone being warm is enough to measure
+            c_probe = mf.bgmw_auto_window(n)
+            W = -(-256 // c_probe)
+            t_probe = jax.ShapeDtypeStruct((W * n, FP_LIMBS), jnp.uint32)
+            i_probe = jax.ShapeDtypeStruct((W * n,), jnp.bool_)
+            warm = aot.exists(
+                f"msm_bgmw_s{scale}", (t_probe, i_probe, sc_probe),
+                extra_key=f"c{c_probe}",
+            )
         pts_cached = os.path.exists(
             os.path.join(_points_cache_dir(), f"points_{scale}.npz"))
         # Cold compile of the MSM program takes ~3-6 min on the tunneled
