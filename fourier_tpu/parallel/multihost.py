@@ -147,6 +147,10 @@ def _dryrun_worker(coordinator: str, num_processes: int, process_id: int,
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
 
     def log(msg):
         print(f"[multihost dryrun p{process_id}] {msg}", flush=True)

@@ -30,6 +30,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# XLA:CPU AOT bundles in cache entries are machine-feature-specific and
+# their loader has crashed (segfault) on large entries; cache the plain
+# executables only.
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except Exception:
+    pass
 
 
 @pytest.fixture
