@@ -32,7 +32,12 @@ _libs: dict[str, object] = {}
 
 
 def _load(stem: str):
-    """Load (building if needed) lib<stem>-<srchash>.so, or None."""
+    """Load (building if needed) lib<stem>-<srchash>.so, or None.
+
+    FOURIER_NATIVE=0 disables the native kernels entirely (pure-Python
+    fallbacks serve) — a debugging/bisection escape hatch."""
+    if os.environ.get("FOURIER_NATIVE", "1") == "0":
+        return None
     if stem in _libs:
         return _libs[stem] or None
     src = os.path.join(_HERE, f"{stem}.cpp")
