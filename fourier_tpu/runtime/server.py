@@ -16,6 +16,7 @@ dispatch rather than IO.
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -276,7 +277,21 @@ def start_rpc_server(cfg: ServerConfig, on_server=None) -> None:
 
     `on_server` (optional) receives the Server instance before it runs —
     the handle a host embedding this loop needs to call shutdown().
+
+    FOURIER_PROFILE=<dir> starts a jax profiler trace for the server's
+    lifetime (xprof/tensorboard-readable) — the TPU analog of the
+    reference's `tracing` subscriber + `timed` wall-clock logging
+    (reference src/main.rs:25-28, src/utils.rs:1-8).
     """
+    profile_dir = os.environ.get("FOURIER_PROFILE")
+    if profile_dir:
+        import jax
+
+        try:
+            jax.profiler.start_trace(profile_dir)
+            logger.info("jax profiler trace -> %s", profile_dir)
+        except Exception as e:
+            logger.warning("profiler start failed: %s", e)
     server = Server(cfg)
     if on_server is not None:
         on_server(server)
