@@ -132,6 +132,51 @@ def test_error_response(servers):
     assert "message" in data
 
 
+def test_adversarial_wire_inputs(servers):
+    """Malformed and hostile request bodies must produce {"message": ...}
+    (never a hang, crash, or bare 500) — the reference returns the same
+    error envelope for every handler failure (src/rpc.rs:427-439)."""
+    import json
+
+    from fourier_tpu.constants import R
+    from fourier_tpu.refimpl.field import fr_to_bytes
+
+    ok_fr = wire.b64_encode(fr_to_bytes(5))
+    non_canonical = wire.b64_encode(int(R).to_bytes(32, "big"))  # == r
+    cases = [
+        ("evaluate", {"poly": ["!!notbase64!!"], "x": ok_fr}),
+        ("evaluate", {"poly": [ok_fr], "x": "AAAA"}),       # short scalar
+        ("evaluate", {"poly": [non_canonical], "x": ok_fr}),
+        ("workerCommit", {"i": 0, "poly": [non_canonical]}),
+        ("workerCommit", {"i": 0, "poly": [ok_fr] * (1 << 10)}),  # > T
+        ("workerVerify", {"i": 0, "commitment": "AA", "alpha": ok_fr,
+                          "eval": ok_fr, "proof": "AA"}),
+        ("masterCommit", {"commitments": ["%%%"]}),
+    ]
+    for method, params in cases:
+        data = _post(servers[0], method, params)
+        assert "message" in data, (method, data)
+    # structurally invalid bodies (missing params, raw garbage) bypass
+    # the client-side builders: post raw JSON
+    raw_bodies = [
+        b'{"method":"workerOpen","params":{"i":0,"poly":["AAAA"]}}',
+        b'{"method":"fft","params":{"poly":[],"left":true}}',
+        b'{"method":"workerCommit","params":{"i":"zero","poly":[]}}',
+        b"\x00\xff{]",
+    ]
+    for body in raw_bodies:
+        resp = requests.post(
+            f"http://localhost:{servers[0]}/", data=body, timeout=60
+        )
+        assert "message" in resp.json(), body
+    # the server is still healthy afterwards
+    resp = requests.post(
+        f"http://localhost:{servers[0]}/",
+        data=wire.serialize_request("ping"), timeout=60,
+    )
+    assert resp.json() is None
+
+
 def test_distributed_flow_over_http(servers, backend, rng):
     """The full worker->master protocol over real sockets, workers on their
     own ports, validator on the last."""
