@@ -96,3 +96,14 @@ def test_multihost_prove():
     from fourier_tpu.parallel.multihost import spawn_dryrun
 
     spawn_dryrun(n_processes=2, scale=5, machines_scale=2)
+
+
+@pytest.mark.e2e
+def test_multihost_prove_one_worker_per_host():
+    """Four fake hosts with a single device each: the M=4 worker axis
+    maps one worker per host — the exact topology of the reference's
+    one-server-per-machine deployment."""
+    from fourier_tpu.parallel.multihost import spawn_dryrun
+
+    spawn_dryrun(n_processes=4, scale=5, machines_scale=2,
+                 devices_per_process=1)
