@@ -126,18 +126,18 @@ def _convert_compression(args) -> int:
 
     First-class here, unlike the reference where the live Piano path never
     implemented it (only the dead BlstBackend did, reference
-    src/engine/blst.rs:257-288; SURVEY.md L2' note)."""
+    src/engine/blst.rs:257-288; SURVEY.md L2' note).
+
+    Only the setup file needs migrating: precompute tables are stored as
+    `.npz` (a documented divergence from the reference's raw byte format,
+    see runtime/io.py), and `.npz` carries no compressed/uncompressed
+    point-encoding distinction — the same file serves both modes."""
     from . import io as rio
 
-    src_compressed = not args.uncompressed if args.decompress_existing else False
     # decompress: file is compressed -> write uncompressed; compress: reverse
-    if args.decompress_existing:
-        settings = rio.load_setup(args.setup_path, compressed=True)
-        rio.save_setup(settings, args.setup_path, compressed=False)
-    else:
-        settings = rio.load_setup(args.setup_path, compressed=False)
-        rio.save_setup(settings, args.setup_path, compressed=True)
-    del src_compressed
+    src_compressed = bool(args.decompress_existing)
+    settings = rio.load_setup(args.setup_path, compressed=src_compressed)
+    rio.save_setup(settings, args.setup_path, compressed=not src_compressed)
     return 0
 
 
