@@ -115,7 +115,7 @@ def main() -> None:
     from fourier_tpu.runtime import aot
 
     target_scale = int(os.environ.get("BENCH_SCALE", "19"))
-    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
     budget = float(os.environ.get("BENCH_BUDGET", "480"))
     deadline = START + budget
 
@@ -254,6 +254,10 @@ def main() -> None:
             sync(out.x if hasattr(out, "x") else out[0])
             _log(f"{name}: warm run done")
 
+            # Median-of-iters with the spread logged: the recorded number
+            # must be reproducible, not a lucky best-of-2 (round-2 VERDICT:
+            # iteration times varied ~20%; the honest statistic is the
+            # median with variance stated).
             times = []
             for i in range(iters):
                 sc = jnp.asarray(_canonical_scalars(rng, n))
@@ -263,7 +267,7 @@ def main() -> None:
                 sync(out.x if hasattr(out, "x") else out[0])
                 dt = time.perf_counter() - t0
                 times.append(dt)
-                value = n / min(times)
+                value = n / float(np.median(times))
                 best_prev = (_RESULT or {}).get("value", 0)
                 if value > best_prev:
                     _RESULT = {
@@ -278,6 +282,10 @@ def main() -> None:
                 _log(f"{name} iter {i}: {dt:.3f}s ({n/dt:.0f} pts/s)")
                 if remaining() < dt * 1.5:
                     break
+            spread = (max(times) - min(times)) / float(np.median(times))
+            _log(f"{name}: median {np.median(times):.3f}s over "
+                 f"{len(times)} iters (min {min(times):.3f}s, "
+                 f"max {max(times):.3f}s, spread {100*spread:.1f}%)")
             if remaining() < 30:
                 break
         break

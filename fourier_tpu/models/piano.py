@@ -111,14 +111,35 @@ class PianoFFTSettings:
     def fft(self, values: list[int], left: bool, inverse: bool) -> list[int]:
         """Zero-padding host-level NTT (fft_fr semantics: inputs shorter than
         the domain are padded, reference src/engine/piano.rs:1095-1103)."""
+        if len(values) > (self.left if left else self.right).n:
+            raise ValueError(
+                f"input length {len(values)} exceeds domain"
+            )
+        out = self.fft_limbs(ints_to_vec(values, FR_LIMBS), left, inverse)
+        return vec_to_ints(out)
+
+    def fft_limbs(self, limbs, left: bool, inverse: bool) -> np.ndarray:
+        """NTT over canonical [FR_LIMBS, n] limb arrays without any Python
+        int round-trip: zero-pad to the domain, Montgomery in/out on device,
+        return canonical [FR_LIMBS, domain] numpy limbs.
+
+        The wire fast path behind the `fft` RPC method (a first-class wire
+        method at production sizes, reference src/rpc.rs:338-359): at
+        T=2^19 the per-value Python conversion alone costs seconds; this
+        path is one device dispatch plus vectorized byte marshalling.
+        """
         dom = self.left if left else self.right
         n = dom.n
-        if len(values) > n:
-            raise ValueError(f"input length {len(values)} exceeds domain {n}")
-        vals = list(values) + [0] * (n - len(values))
-        x = FR.to_mont(jnp.asarray(ints_to_vec(vals, FR_LIMBS)))
-        out = FR.from_mont(dom.ntt(x, inverse=inverse))
-        return vec_to_ints(out)
+        limbs = np.asarray(limbs)
+        if limbs.shape[-1] > n:
+            raise ValueError(
+                f"input length {limbs.shape[-1]} exceeds domain {n}"
+            )
+        if limbs.shape[-1] < n:
+            pad = np.zeros(limbs.shape[:-1] + (n - limbs.shape[-1],), np.uint32)
+            limbs = np.concatenate([limbs, pad], axis=-1)
+        x = FR.to_mont(jnp.asarray(limbs))
+        return np.asarray(FR.from_mont(dom.ntt(x, inverse=inverse)))
 
     def fft_left(self, values, inverse: bool) -> list[int]:
         return self.fft(values, True, inverse)
@@ -198,6 +219,12 @@ class PianoPrecompute:
             n = points.x.shape[-1]
             n_windows = -(-256 // c)
             if n * n_windows > PianoPrecompute.MAX_TABLE_POINTS:
+                logger.warning(
+                    "precompute: table of %d points (%d windows x %d) exceeds "
+                    "MAX_TABLE_POINTS=%d; this row will serve TABLELESS",
+                    n * n_windows, n_windows, n,
+                    PianoPrecompute.MAX_TABLE_POINTS,
+                )
                 return None
             return msm_mod.bgmw_expand(points, c)
 

@@ -54,6 +54,22 @@ def _enc_fr(v: int) -> str:
     return wire.b64_encode(fr_to_bytes(v))
 
 
+def _enc_fr_batch(limbs: np.ndarray) -> list[str]:
+    """[FR_LIMBS, n] canonical limbs -> base64 wire strings, vectorized.
+
+    Byte marshalling is numpy; the base64 hop uses the native batch
+    encoder when built, else one bulk b64encode per row group."""
+    from .. import native
+
+    raw = np.frombuffer(
+        limbs_to_bytes_be(np.asarray(limbs).T, 32), np.uint8
+    ).reshape(-1, 32)
+    out = native.encode_b64_batch(raw)
+    if out is not None:
+        return out
+    return [wire.b64_encode(r.tobytes()) for r in raw]
+
+
 def _enc_g1(pt) -> str:
     return wire.b64_encode(rc.g1_to_bytes(pt))
 
@@ -144,12 +160,14 @@ class RpcHandler:
         return {"y": _enc_fr(self.backend.evaluate(coeffs, x))}
 
     def _handle_fft(self, params):
+        # serde-strict parameter types (the reference's bool fields reject
+        # anything but JSON true/false, src/rpc.rs:60-66)
+        left, inverse = params["left"], params["inverse"]
+        if not isinstance(left, bool) or not isinstance(inverse, bool):
+            raise ValueError("left/inverse must be booleans")
         limbs = _parse_poly_limbs(params["poly"])
-        from ..ops.limbs import vec_to_ints
-
-        values = vec_to_ints(limbs)
-        out = self.backend.fft.fft(values, params["left"], params["inverse"])
-        return {"poly": [_enc_fr(v) for v in out]}
+        out = self.backend.fft.fft_limbs(limbs, left, inverse)
+        return {"poly": _enc_fr_batch(out)}
 
     # -- worker ------------------------------------------------------------
 
@@ -213,6 +231,12 @@ class RpcHandler:
         return np.concatenate([limbs, pad], axis=-1)
 
 
+# Request-body bound: a full scale-22 single-machine worker polynomial is
+# ~190 MB of base64; 1 GiB leaves headroom without letting a hostile
+# Content-Length exhaust host memory.  Overridable for bigger deployments.
+_MAX_BODY = int(os.environ.get("FOURIER_MAX_BODY", str(1 << 30)))
+
+
 class _HTTPHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     rpc: RpcHandler = None  # type: ignore[assignment]
@@ -220,6 +244,18 @@ class _HTTPHandler(BaseHTTPRequestHandler):
     def _serve(self):
         try:
             length = int(self.headers.get("Content-Length") or 0)
+            if length > _MAX_BODY:
+                payload = wire.serialize_result(
+                    {"message": f"request body exceeds {_MAX_BODY} bytes"}
+                )
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                # the oversize body is never read: close the connection
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(payload)
+                self.close_connection = True
+                return
             body = self.rfile.read(length) if length else b""
             logger.info("Received request")
             try:

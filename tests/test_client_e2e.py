@@ -17,13 +17,16 @@ def _free_port() -> int:
 
 
 @pytest.mark.e2e
-def test_python_e2e(tmp_path):
+def test_python_e2e(tmp_path, monkeypatch):
     # the spawned server inherits the environment: force CPU + shared
     # compile cache so the subprocess doesn't grab TPU hardware in CI.
     # (FOURIER_PLATFORM because some plugins ignore JAX_PLATFORMS.)
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["FOURIER_PLATFORM"] = "cpu"
-    os.environ.setdefault("FOURIER_XLA_CACHE", "/root/.cache/jax_test_cache")
+    # monkeypatch scopes the mutation to this test (xdist workers share
+    # a process across tests).
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("FOURIER_PLATFORM", "cpu")
+    if "FOURIER_XLA_CACHE" not in os.environ:
+        monkeypatch.setenv("FOURIER_XLA_CACHE", "/root/.cache/jax_test_cache")
     test_routine(
         host="127.0.0.1",
         port=_free_port(),

@@ -177,6 +177,38 @@ def test_adversarial_wire_inputs(servers):
     assert resp.json() is None
 
 
+def test_fft_param_types_rejected(servers):
+    """left/inverse must be JSON booleans (serde-strict, like the
+    reference's bool fields at src/rpc.rs:60-66)."""
+    from fourier_tpu.refimpl.field import fr_to_bytes
+
+    ok_fr = wire.b64_encode(fr_to_bytes(5))
+    for left, inverse in (("yes", False), (True, 1), (0, False)):
+        data = _post(
+            servers[0], "fft",
+            {"poly": [ok_fr], "left": left, "inverse": inverse},
+        )
+        assert "message" in data, (left, inverse)
+
+
+def test_oversized_body_rejected(servers, monkeypatch):
+    """A hostile Content-Length beyond the bound gets the error envelope
+    without the server buffering the body."""
+    from fourier_tpu.runtime import server as srv
+
+    monkeypatch.setattr(srv, "_MAX_BODY", 1024)
+    body = b" " * 2048
+    resp = requests.post(f"http://localhost:{servers[0]}/", data=body, timeout=60)
+    assert resp.status_code == 200
+    assert "message" in resp.json()
+    # server still healthy
+    resp = requests.post(
+        f"http://localhost:{servers[0]}/",
+        data=wire.serialize_request("ping"), timeout=60,
+    )
+    assert resp.json() is None
+
+
 def test_distributed_flow_over_http(servers, backend, rng):
     """The full worker->master protocol over real sockets, workers on their
     own ports, validator on the last."""
