@@ -243,21 +243,59 @@ class PianoPrecompute:
         return self._packed[key]
 
 
+_SHARD_MESH = None
+
+
+def _sharding_mesh():
+    """1-D mesh over the local devices for intra-worker MSM sharding, or
+    None on a single device (or with FOURIER_SHARD_MSM=0).
+
+    The TPU analog of the reference's rayon-parallel MSM inside one
+    machine (reference Cargo.toml:11-12 `parallel` feature): one
+    worker's MSM fans out over all local chips."""
+    global _SHARD_MESH
+    if os.environ.get("FOURIER_SHARD_MSM", "1") == "0":
+        return None
+    if _SHARD_MESH is None:
+        from ..parallel.msm_fused_sharded import local_mesh
+
+        _SHARD_MESH = local_mesh() or False
+    return _SHARD_MESH or None
+
+
 def _msm_dispatch(points: G1Aff, scalars, table: G1Aff | None, c: int,
                   packed=None):
-    """MSM with optional BGMW table; small sizes take the naive batched path."""
+    """MSM with optional BGMW table; small sizes take the naive batched
+    path; on multi-device hosts the point/table axis is sharded across
+    the local mesh (parallel.msm_fused_sharded)."""
     from ..ops import pallas_curve as pcv
 
     n = points.x.shape[-1]
+    # Auto-sharding only on Pallas-enabled (TPU) backends: on the CPU
+    # suite's virtual mesh the jnp shard_map programs compile
+    # pathologically; the sharded jnp variant stays available to
+    # explicit callers (tests, dryrun_multichip).
+    mesh = _sharding_mesh() if pcv.enabled() else None
     if table is not None:
+        wn = table.x.shape[-1]
         if pcv.enabled():
             from ..ops import msm_fused as mf
 
             pk = packed if packed is not None else mf.pack_points(table)
+            if mesh is not None and (wn // n) % mesh.shape["chips"] == 0:
+                from ..parallel.msm_fused_sharded import msm_fused_bgmw_sharded
+
+                return msm_fused_bgmw_sharded(pk, table.inf, scalars, c, mesh)
             return mf.msm_fused_bgmw(pk, table.inf, scalars, c)
         return msm_mod.msm_bgmw(table, scalars, c)
     if n <= 64:
         return msm_mod.msm_naive(points, scalars)
+    if mesh is not None and n % mesh.shape["chips"] == 0:
+        from ..ops.msm import _auto_window
+        from ..parallel.msm_fused_sharded import msm_fused_sharded
+
+        return msm_fused_sharded(points, scalars,
+                                 _auto_window(n // mesh.shape["chips"]), mesh)
     return msm_mod.msm(points, scalars)
 
 

@@ -340,10 +340,17 @@ def _dbl_n(p: G1Jac, c: int) -> G1Jac:
 def msm_bgmw(table: G1Aff, scalars, c: int) -> G1Jac:
     """MSM using a bgmw_expand table: one bucket accumulation over all
     W*n (window, point) pairs, one bucket reduction, zero doublings."""
-    n_buckets = 1 << c
     n = scalars.shape[-1]
     n_windows = table.x.shape[-1] // n
     digits = _all_window_digits(scalars, c, n_windows).reshape(-1)  # [W*n]
-    buckets = _bucket_accumulate(table, digits, n_buckets)
+    return bgmw_from_digits(table, digits, c)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def bgmw_from_digits(table: G1Aff, digits_flat, c: int) -> G1Jac:
+    """msm_bgmw body over pre-extracted digits (the jnp twin of
+    ops.msm_fused.bgmw_from_digits, used by the mesh-sharded caller on
+    backends without Pallas)."""
+    buckets = _bucket_accumulate(table, digits_flat, 1 << c)
     s = _bit_partial_sums(buckets, c)  # [L, c, R]
     return _horner_2k(s)

@@ -429,6 +429,24 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
     WN = packed_table.shape[0]
     n = scalars.shape[-1]
     n_windows = WN // n
+    digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
+    return bgmw_from_digits(packed_table, table_inf,
+                            digits.reshape(-1), c)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int) -> G1Jac:
+    """msm_fused_bgmw body over pre-extracted digits.
+
+    digits_flat: int32 [W*n] c-bit digits aligned with the table rows.
+    Separated out so a mesh-sharded caller (parallel.msm_fused_sharded)
+    can shard the (window, point) axis: any CONTIGUOUS slice of table
+    rows plus its matching digit slice is itself a valid shared-bucket
+    MSM whose result is the partial sum of those rows (window weights
+    are baked into the table entries)."""
+    from . import msm as msm_mod
+
+    WN = packed_table.shape[0]
     B = 1 << c
     cap = _split_cap(WN, B)
     spare = max(BTILE // 8, -(-WN // cap))
@@ -436,8 +454,7 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
     n_tiles = -(-Bp // BTILE)
     G = _grid_size(WN, n_tiles)
 
-    digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
-    digits_flat = jnp.where(table_inf, 0, digits.reshape(-1))   # [W*n]
+    digits_flat = jnp.where(table_inf, 0, digits_flat)          # [W*n]
 
     order = jnp.argsort(digits_flat).astype(jnp.int32)
     sd = digits_flat[order]

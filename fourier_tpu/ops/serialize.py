@@ -38,9 +38,43 @@ def _np_geq(a: np.ndarray, thresh: np.ndarray) -> np.ndarray:
     return np.where(nz.any(axis=1), top > 0, True)
 
 
+_CHUNK = 1 << 18  # lanes per device dispatch for whole-array conversions
+
+
+def from_mont_np(coord) -> np.ndarray:
+    """Montgomery device [L, n] -> canonical numpy [L, n], chunked.
+
+    Whole-array from_mont on a multi-million-lane table allocates ~20
+    1.5 GB HLO temps at scale 20 (device OOM); slicing bounds the live
+    set to one chunk."""
+    n = coord.shape[-1]
+    if n <= _CHUNK:
+        return np.asarray(FP.from_mont(coord))
+    out = np.empty(coord.shape, np.uint32)
+    for lo in range(0, n, _CHUNK):
+        out[..., lo:lo + _CHUNK] = np.asarray(
+            FP.from_mont(coord[..., lo:lo + _CHUNK])
+        )
+    return out
+
+
+def to_mont_device(arr_np):
+    """Canonical numpy [L, n] -> Montgomery device [L, n], chunked."""
+    import jax.numpy as jnp
+
+    n = arr_np.shape[-1]
+    if n <= _CHUNK:
+        return FP.to_mont(jnp.asarray(arr_np))
+    parts = [
+        FP.to_mont(jnp.asarray(arr_np[..., lo:lo + _CHUNK]))
+        for lo in range(0, n, _CHUNK)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _canonical_np(aff_coord) -> np.ndarray:
     """Montgomery device [L, n] -> canonical numpy [n, L]."""
-    return np.asarray(FP.from_mont(aff_coord)).T
+    return from_mont_np(aff_coord).T
 
 
 def g1_encode_batch(aff: G1Aff, compressed: bool) -> bytes:
@@ -72,9 +106,23 @@ def g1_decode_batch(data: bytes, compressed: bool, check_curve: bool = True) -> 
 
     Raises ValueError on malformed flags, non-canonical coordinates, or
     off-curve points (matching blst_p1_uncompress/deserialize behavior
-    behind FsG1::from_bytes/deserialize).
+    behind FsG1::from_bytes/deserialize).  Chunked above _CHUNK points:
+    the compressed path's batched square root is ~380 sequential muls
+    whose one-dispatch form at 2^20 lanes has crashed the TPU worker.
     """
     size = 48 if compressed else 96
+    n_total = len(data) // size
+    if n_total > _CHUNK:
+        parts = [
+            g1_decode_batch(data[lo * size:(lo + _CHUNK) * size],
+                            compressed, check_curve)
+            for lo in range(0, n_total, _CHUNK)
+        ]
+        return G1Aff(
+            jnp.concatenate([p.x for p in parts], axis=-1),
+            jnp.concatenate([p.y for p in parts], axis=-1),
+            jnp.concatenate([p.inf for p in parts], axis=-1),
+        )
     raw = np.frombuffer(data, np.uint8)
     if raw.size % size:
         raise ValueError(f"data size {raw.size} not a multiple of {size}")

@@ -120,9 +120,11 @@ def load_setup(path: str, compressed: bool):
 def _aff_to_arrays(aff: G1Aff | None):
     if aff is None:
         return None
+    # chunked: a scale-20 BGMW table is 2^24 lanes — whole-array
+    # from_mont OOMs the device (ops.serialize.from_mont_np)
     return (
-        np.asarray(FP.from_mont(aff.x)),
-        np.asarray(FP.from_mont(aff.y)),
+        ser.from_mont_np(aff.x),
+        ser.from_mont_np(aff.y),
         np.asarray(aff.inf),
     )
 
@@ -131,7 +133,7 @@ def _aff_from_arrays(x, y, inf) -> G1Aff:
     import jax.numpy as jnp
 
     return G1Aff(
-        FP.to_mont(jnp.asarray(x)), FP.to_mont(jnp.asarray(y)), jnp.asarray(inf)
+        ser.to_mont_device(x), ser.to_mont_device(y), jnp.asarray(inf)
     )
 
 

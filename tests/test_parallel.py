@@ -40,6 +40,66 @@ def test_msm_sharded_matches_naive(rng):
     assert got == g1_msm(pts, scalars)
 
 
+def test_msm_bgmw_sharded_matches_naive(rng):
+    """The intra-worker sharded BGMW MSM (table axis split over chips,
+    partials combined over the mesh) == the unsharded result == the
+    refimpl MSM; window counts both divisible and checked."""
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.parallel.msm_fused_sharded import msm_bgmw_sharded
+
+    mesh = make_mesh(4, axis="chips")
+    n, c = 16, 8  # W = 32 windows, divisible by 4
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, 16))
+    table = msm_mod.bgmw_expand(points, c)
+    out = msm_bgmw_sharded(table, sc, c, mesh, axis="chips")
+    got = cv.jac_to_int_points(
+        cv.G1Jac(out.x[..., None], out.y[..., None], out.z[..., None])
+    )[0]
+    assert got == g1_msm(pts, scalars)
+    # all-equal scalars over the sharded path too (the adversarial input)
+    eq = jnp.asarray(ints_to_vec([scalars[0]] * n, 16))
+    out_eq = msm_bgmw_sharded(table, eq, c, mesh, axis="chips")
+    got_eq = cv.jac_to_int_points(
+        cv.G1Jac(out_eq.x[..., None], out_eq.y[..., None], out_eq.z[..., None])
+    )[0]
+    assert got_eq == g1_msm(pts, [scalars[0]] * n)
+
+
+def test_msm_fused_bgmw_sharded_interpret(rng, monkeypatch):
+    """The fused (Pallas) sharded BGMW path under the interpreter on the
+    virtual mesh — the exact program the production multi-chip dispatch
+    runs, minus Mosaic lowering."""
+    import fourier_tpu.ops.pallas_curve as pc
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.parallel.msm_fused_sharded import msm_fused_bgmw_sharded
+
+    monkeypatch.setenv("FOURIER_PALLAS", "1")
+    monkeypatch.setenv("FOURIER_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(pc, "TILE", 128)
+    import unittest.mock
+
+    mesh = make_mesh(2, axis="chips")
+    n, c = 16, 7  # W = 37 -> not divisible; use c=8 -> W=32
+    c = 8
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, 16))
+    table = msm_mod.bgmw_expand(points, c)
+    packed = mf.pack_points(table)
+    with unittest.mock.patch.object(mf, "BTILE", 128):
+        out = msm_fused_bgmw_sharded(packed, table.inf, sc, c, mesh,
+                                     axis="chips")
+        got = cv.jac_to_int_points(
+            cv.G1Jac(out.x[..., None], out.y[..., None], out.z[..., None])
+        )[0]
+    assert got == g1_msm(pts, scalars)
+
+
 @pytest.mark.parametrize("ndev", [2, 4])
 def test_distributed_prove(ndev, rng):
     """Full prove round over a mesh == single-device backend results, and

@@ -35,8 +35,13 @@ import numpy as np  # noqa: E402
 
 
 def host_points():
-    """P_j = 5^(j+1) * G as limb arrays, generated host-side (refimpl)."""
-    path = f"{CACHE}/points_{SCALE}.npz"
+    """P_j = 5^(j+1) * G as CANONICAL limb arrays, generated host-side.
+
+    NOTE: device G1Aff coordinates are MONTGOMERY-form limbs; callers
+    must FP.to_mont these before building points.  (The bench tools'
+    points_{scale}.npz files store Montgomery arrays — different
+    convention, hence the _host_ filename.)"""
+    path = f"{CACHE}/points_host_{SCALE}.npz"
     if os.path.exists(path):
         with np.load(path) as z:
             return z["x"], z["y"]
@@ -82,6 +87,8 @@ def main():
     from fourier_tpu.ops import msm_fused as mf
     from fourier_tpu.ops.curve import G1Aff, to_affine
 
+    from fourier_tpu.ops.field import FP as _FPm
+
     log(f"devices={jax.devices()}")
     xs, ys = host_points()
     log("points ready")
@@ -92,17 +99,46 @@ def main():
     exp_x, exp_y = expected_skew(skew)
     log("expected (analytic) ready")
 
-    points = G1Aff(jnp.asarray(xs), jnp.asarray(ys), jnp.zeros((N,), bool))
+    # device coordinates are Montgomery-form limbs
+    points = G1Aff(_FPm.to_mont(jnp.asarray(xs)),
+                   _FPm.to_mont(jnp.asarray(ys)),
+                   jnp.zeros((N,), bool))
     scal = jnp.asarray(skew)
 
-    def check(tag, jac):
+    from fourier_tpu.ops.field import FP as FPf
+    from fourier_tpu.ops.limbs import limbs_to_ints
+
+    def analytic(scalar_limbs):
+        """Expected MSM result via known dlogs: sum_j s_j * 5^(j+1) * G."""
+        from fourier_tpu.ops.limbs import int_to_limbs
+        from fourier_tpu.refimpl import curve as rc
+
+        svals = limbs_to_ints(np.asarray(scalar_limbs).T)
+        total = 0
+        p5 = 5
+        for s in svals:
+            total = (total + s * p5) % R_CONST
+            p5 = p5 * 5 % R_CONST
+        ex, ey = rc.g1_mul_fast(rc.G1_GEN, total)
+        return (np.asarray(int_to_limbs(ex, FP_LIMBS_C), np.uint32),
+                np.asarray(int_to_limbs(ey, FP_LIMBS_C), np.uint32))
+
+    from fourier_tpu.constants import FP_LIMBS as FP_LIMBS_C
+    from fourier_tpu.constants import R as R_CONST
+
+    def check(tag, jac, ex=None, ey=None):
+        if ex is None:
+            ex, ey = exp_x, exp_y
         aff = to_affine(jac)
-        gx, gy = np.asarray(aff.x).ravel(), np.asarray(aff.y).ravel()
-        ok = np.array_equal(gx, exp_x) and np.array_equal(gy, exp_y)
+        # canonical compare: device affine coords are Montgomery
+        gx = np.asarray(FPf.from_mont(aff.x)).ravel()
+        gy = np.asarray(FPf.from_mont(aff.y)).ravel()
+        ok = np.array_equal(gx, ex.ravel()) and np.array_equal(gy, ey.ravel())
         log(f"{tag}: {'OK' if ok else 'MISMATCH'}")
         return ok
 
     run_e12 = os.environ.get("BISECT_E12", "1") == "1"
+    uni_x, uni_y = analytic(uniform)
     # --- E1: confirm repro across window sizes -------------------------
     for c in (8, 9) if run_e12 else ():
         W = -(-mf.SCALAR_BITS // c)
@@ -112,13 +148,11 @@ def main():
         Bp = B + spare
         n_tiles = -(-(W * Bp) // mf.BTILE)
         G = mf._grid_size(N * W, n_tiles)
-        # host round prediction
-        digits = np.zeros((W, Bp), np.int64)  # per-slot counts after split
-        # quick estimate via simulate on actual counts is done in E3; here
-        # just log the static config.
         log(f"c={c}: W={W} B={B} cap={cap} spare={spare} "
             f"n_tiles={n_tiles} G={G} avail={G-n_tiles}")
-        check(f"E1 fused c={c}", mf.msm_fused(points, scal, c))
+        check(f"E1 fused c={c} uniform",
+              mf.msm_fused(points, jnp.asarray(uniform), c), uni_x, uni_y)
+        check(f"E1 fused c={c} skew", mf.msm_fused(points, scal, c))
 
     # --- E2: force single round ----------------------------------------
     if run_e12:
@@ -339,7 +373,8 @@ def main():
     from fourier_tpu.ops.curve import to_affine as _to_aff
     for tag, h in (("mosaic", h_m), ("interp", h_i)):
         aff = _to_aff(G1Jac(*[jnp.asarray(a) for a in h]))
-        gx, gy = np.asarray(aff.x).ravel(), np.asarray(aff.y).ravel()
+        gx = np.asarray(FPf.from_mont(aff.x)).ravel()
+        gy = np.asarray(FPf.from_mont(aff.y)).ravel()
         ok = np.array_equal(gx, exp_x) and np.array_equal(gy, exp_y)
         log(f"E5 final ({tag} horner on interp ps): "
             f"{'OK' if ok else 'MISMATCH'}")
