@@ -426,7 +426,9 @@ def _eval_form_open(roots_mont, f_mont, alpha_mont, t_inv_mont):
     T = roots_mont.shape[-1]
     diffs = FR.sub(alpha_mont, roots_mont)                 # alpha - w^j
     any_zero = jnp.any(FR.is_zero(diffs))
-    invd = FR.inv(diffs)
+    # chunked batch inversion: the per-lane Fermat chain costs ~500 muls
+    # per lane and dominated worker_open at T=2^20 (~20 s of the 28 s)
+    invd = FR.batch_inv(diffs)
     alpha_t = FR.pow_const(alpha_mont, T)                  # [L, 1]
     one = FR.broadcast_const(FR.one_mont, (1,))
     factor = FR.mul(FR.sub(alpha_t, one), t_inv_mont)      # (alpha^T - 1)/T

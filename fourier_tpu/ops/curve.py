@@ -196,44 +196,10 @@ def to_affine(p: G1Jac) -> G1Aff:
 
 @partial(jax.jit, static_argnums=(1,))
 def batch_inv(z, chunk: int = 64):
-    """Montgomery batch inversion over the last axis; 0 maps to 0.
-
-    The per-lane Fermat chain (~380 muls/lane) is the right shape for a
-    few thousand lanes but not for millions (BGMW table conversion):
-    lanes are folded `chunk` at a time with two mul scans, and only the
-    1/chunk-sized chunk totals pay the Fermat chain — ~(2*chunk + 380/
-    chunk) muls per lane instead of ~380.
-    """
-    f = FP
-    n = z.shape[-1]
-    pad = (-n) % chunk
-    zero = f.is_zero(z)
-    one = f.broadcast_const(f.one_mont, z.shape[1:])
-    zz = jnp.where(zero[None], one, z)
-    if pad:
-        cfg = [(0, 0)] * (zz.ndim - 1) + [(0, pad)]
-        zz = jnp.pad(zz, cfg, constant_values=0)
-        zz = zz.at[..., n:].set(
-            jnp.broadcast_to(one[..., :1], zz[..., n:].shape))
-    g = (n + pad) // chunk
-    zc = jnp.moveaxis(
-        zz.reshape(zz.shape[:-1] + (g, chunk)), -1, 0
-    )  # [chunk, L, ..., g]
-
-    def fwd(carry, zi):
-        return f.mul(carry, zi), carry  # exclusive prefix products
-
-    ones_g = f.broadcast_const(f.one_mont, zc.shape[2:])
-    tot, pre = jax.lax.scan(fwd, ones_g, zc)
-    tot_inv = f.inv(tot)  # Fermat on g lanes only
-
-    def bwd(carry, args):
-        zi, pre_i = args
-        return f.mul(carry, zi), f.mul(carry, pre_i)
-
-    _, invs = jax.lax.scan(bwd, tot_inv, (zc, pre), reverse=True)
-    out = jnp.moveaxis(invs, 0, -1).reshape(zz.shape)[..., :n]
-    return jnp.where(zero[None], 0, out)
+    """Montgomery batch inversion over the last axis (Field.batch_inv
+    on Fp); 0 maps to 0.  Used by multi-million-lane affine conversions
+    (BGMW table building)."""
+    return FP.batch_inv(z, chunk)
 
 
 @jax.jit

@@ -541,6 +541,47 @@ class Field:
         """
         return self.pow_const(a, self.modulus - 2)
 
+    @partial(jax.jit, static_argnums=(0, 2))
+    def batch_inv(self, z, chunk: int = 64):
+        """Montgomery batch inversion over the last axis; 0 maps to 0.
+
+        The per-lane Fermat chain (~2x bit-length muls per lane) is the
+        right shape for a few thousand lanes but not for a million (the
+        worker_open eval-form quotient at T=2^20): lanes are folded
+        `chunk` at a time with two mul scans, and only the 1/chunk-sized
+        chunk totals pay the Fermat chain — ~(2*chunk + bits/chunk) muls
+        per lane instead of ~2*bits.
+        """
+        n = z.shape[-1]
+        pad = (-n) % chunk
+        zero = self.is_zero(z)
+        one = self.broadcast_const(self.one_mont, z.shape[1:])
+        zz = jnp.where(zero[None], one, z)
+        if pad:
+            cfg = [(0, 0)] * (zz.ndim - 1) + [(0, pad)]
+            zz = jnp.pad(zz, cfg, constant_values=0)
+            zz = zz.at[..., n:].set(
+                jnp.broadcast_to(one[..., :1], zz[..., n:].shape))
+        g = (n + pad) // chunk
+        zc = jnp.moveaxis(
+            zz.reshape(zz.shape[:-1] + (g, chunk)), -1, 0
+        )  # [chunk, L, ..., g]
+
+        def fwd(carry, zi):
+            return self.mul(carry, zi), carry  # exclusive prefix products
+
+        ones_g = self.broadcast_const(self.one_mont, zc.shape[2:])
+        tot, pre = jax.lax.scan(fwd, ones_g, zc)
+        tot_inv = self.inv(tot)  # Fermat on g lanes only
+
+        def bwd(carry, args):
+            zi, pre_i = args
+            return self.mul(carry, zi), self.mul(carry, pre_i)
+
+        _, invs = jax.lax.scan(bwd, tot_inv, (zc, pre), reverse=True)
+        out = jnp.moveaxis(invs, 0, -1).reshape(zz.shape)[..., :n]
+        return jnp.where(zero[None], 0, out)
+
 
 FR = Field(R, FR_LIMBS)
 FP = Field(P, FP_LIMBS)

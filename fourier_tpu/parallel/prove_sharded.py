@@ -110,7 +110,7 @@ def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
         f_mont [L, Mloc, T]; roots [L, T]; returns y [L, Mloc], qhat [L, Mloc, T]."""
         diffs = FR.sub(alpha_mont[..., None], roots[:, None, :])  # [L, 1->Mloc?, T]
         diffs = jnp.broadcast_to(diffs, f_mont.shape)
-        invd = FR.inv(diffs[:, :1, :])          # same for all workers: [L, 1, T]
+        invd = FR.batch_inv(diffs[:, :1, :])    # same for all workers: [L, 1, T]
         t = f_mont.shape[-1]
         alpha_t = FR.pow_const(alpha_mont, t)   # [L, 1]
         one = FR.broadcast_const(FR.one_mont, (1,))
