@@ -77,12 +77,14 @@ def _div_linear(coeffs_m, x_m):
     return jnp.moveaxis(qs, 0, -1)[..., ::-1]  # [L, M-1], ascending
 
 
-def prove_in_specs(axis: str = "workers"):
+def prove_in_specs(axis: str = "workers", table_c: int | None = None):
     """PartitionSpecs for build_distributed_prove's arguments, in order.
 
     Exported so multi-host drivers (parallel.multihost) can construct
-    identically-sharded global arrays from process-local data."""
-    return (
+    identically-sharded global arrays from process-local data.  With
+    table_c set, three extra args carry the per-worker BGMW-expanded U
+    tables (x, y, inf), sharded on the worker axis like U itself."""
+    base = (
         P(None, axis, None), P(None, axis, None), P(axis, None),  # U shard
         P(None, None), P(None, None), P(None),                     # g_tau_y
         P(None, axis, None),                                       # coeffs
@@ -90,19 +92,32 @@ def prove_in_specs(axis: str = "workers"):
         P(None, None), P(None, None),                              # roots
         P(None, None),                                             # t_inv
     )
+    if table_c is None:
+        return base
+    return base + (
+        P(None, axis, None), P(None, axis, None), P(axis, None),  # U tables
+    )
 
 
-def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
+def build_distributed_prove(mesh: Mesh, axis: str = "workers",
+                            table_c: int | None = None):
     """Returns a jitted SPMD function
 
         prove(u_x, u_y, u_inf, g_ty_x, g_ty_y, g_ty_inf,
-              coeffs, alpha, beta, left_roots_mont, right_roots_mont)
+              coeffs, alpha, beta, left_roots_mont, right_roots_mont
+              [, ut_x, ut_y, ut_inf])
         -> (master_commit, z, pi0, pi1, commits, evals, proofs)
 
     with the worker axis (M) of `u_*` and `coeffs` sharded over the mesh.
     alpha/beta are canonical [FR_LIMBS, 1]; coeffs canonical [FR_LIMBS, M, T].
     Assumes alpha is outside the left evaluation domain (the RPC path
     handles the in-domain fallback host-side).
+
+    With `table_c` set, the per-worker commit/open MSMs run over
+    BGMW-expanded U tables (the reference's precompute path,
+    src/engine/piano.rs:150 with Some(table)) passed as three extra
+    worker-sharded args: shared buckets, one reduction, no inter-window
+    doublings — the same kernel economics as the RPC path's tables.
     """
 
     def _local_open(f_mont, roots, alpha_mont, t_inv_mont):
@@ -133,10 +148,17 @@ def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
             points, scalars
         )
 
+    def _vmsm_table(tables: G1Aff, scalars):
+        """Per-worker BGMW-table MSM, vmapped over the local worker axis."""
+        fn = lambda t, s: msm_mod.msm_bgmw(t, s, table_c)
+        return jax.vmap(fn, in_axes=(G1Aff(1, 1, 0), 1), out_axes=1)(
+            tables, scalars
+        )
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=prove_in_specs(axis),
+        in_specs=prove_in_specs(axis, table_c),
         out_specs={
             "master_com": (P(None), P(None), P(None)),
             "z": P(None),
@@ -149,18 +171,23 @@ def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
         check_vma=False,
     )
     def prove(u_x, u_y, u_inf, gty_x, gty_y, gty_inf, coeffs, alpha, beta,
-              left_roots, right_roots, t_inv):
+              left_roots, right_roots, t_inv, *ut):
         u_local = G1Aff(u_x, u_y, u_inf)
         f_mont = FR.to_mont(coeffs)
         alpha_mont = FR.to_mont(alpha)
         beta_mont = FR.to_mont(beta)
 
+        if table_c is not None:
+            msm_local = lambda sc: _vmsm_table(G1Aff(*ut), sc)
+        else:
+            msm_local = lambda sc: _vmsm(u_local, sc)
+
         # worker commits: per-row MSM over the local U shard
-        commits = _vmsm(u_local, coeffs)                       # [L, Mloc]
+        commits = msm_local(coeffs)                            # [L, Mloc]
 
         # worker opens (evaluation form)
         y_mont, qhat_mont = _local_open(f_mont, left_roots, alpha_mont, t_inv)
-        proofs = _vmsm(u_local, FR.from_mont(qhat_mont))       # [L, Mloc]
+        proofs = msm_local(FR.from_mont(qhat_mont))            # [L, Mloc]
 
         # gather per-worker results (tiny: M points + M scalars over ICI)
         commits_all = jax.tree.map(
@@ -205,8 +232,13 @@ def build_distributed_prove(mesh: Mesh, axis: str = "workers"):
     return jax.jit(prove)
 
 
-def prove_inputs_from_backend(backend, rows, alpha: int, beta: int):
-    """Host helper: marshal backend state + witness rows into prove() args."""
+def prove_inputs_from_backend(backend, rows, alpha: int, beta: int,
+                              table_c: int | None = None):
+    """Host helper: marshal backend state + witness rows into prove() args.
+
+    With table_c set, the per-worker BGMW-expanded U tables are appended
+    (built fresh, or reused from the backend's precompute when its window
+    matches)."""
     s = backend.settings
     fft = backend.fft
     coeffs = jnp.asarray(
@@ -219,7 +251,7 @@ def prove_inputs_from_backend(backend, rows, alpha: int, beta: int):
     right_roots = jnp.asarray(
         ints_to_vec([v * FR.mont_r % R for v in fft.right_roots], FR_LIMBS)
     )
-    return (
+    args = (
         s.u.x, s.u.y, s.u.inf,
         gty.x, gty.y, gty.inf,
         coeffs,
@@ -229,3 +261,21 @@ def prove_inputs_from_backend(backend, rows, alpha: int, beta: int):
         right_roots,
         t_inv,
     )
+    if table_c is None:
+        return args
+
+    pc = s.precompute
+    tables = []
+    for i in range(fft.M):
+        row = None
+        if pc is not None and pc.c == table_c and i < len(pc.u_rows):
+            row = pc.u_rows[i]
+        if row is None:
+            row = msm_mod.bgmw_expand(s.u_row(i), table_c)
+        tables.append(row)
+    ut = G1Aff(
+        jnp.stack([t.x for t in tables], axis=1),   # [L, M, W*T]
+        jnp.stack([t.y for t in tables], axis=1),
+        jnp.stack([t.inf for t in tables], axis=0),  # [M, W*T]
+    )
+    return args + (ut.x, ut.y, ut.inf)

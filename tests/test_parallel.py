@@ -40,6 +40,40 @@ def test_msm_sharded_matches_naive(rng):
     assert got == g1_msm(pts, scalars)
 
 
+def test_distributed_prove_with_tables(rng):
+    """The SPMD prove step with BGMW-table per-worker MSMs (table_c set)
+    == the single-device backend results."""
+    n, m = 5, 2  # M=4 workers, T=8
+    fft = PianoFFTSettings(n, m)
+    settings = generate_trusted_setup(fft, SECRETS)
+    backend = PianoBackend(fft, settings)
+
+    mesh = make_mesh(4, axis="workers")
+    prove = build_distributed_prove(mesh, axis="workers", table_c=8)
+
+    rows = [
+        [rng.randrange(R) for _ in range(fft.T)] for _ in range(fft.M)
+    ]
+    alpha, beta = rng.randrange(R), rng.randrange(R)
+    args = prove_inputs_from_backend(backend, rows, alpha, beta, table_c=8)
+    out = jax.block_until_ready(prove(*args))
+
+    def pt(triple):
+        return cv.jac_to_int_points(cv.G1Jac(*triple))[0]
+
+    commits = [backend.worker_commit(i, rows[i]) for i in range(fft.M)]
+    assert pt(out["master_com"]) == backend.master_commit(commits)
+    evals, proofs = [], []
+    for i in range(fft.M):
+        y, pi = backend.worker_open(i, rows[i], alpha)
+        evals.append(y)
+        proofs.append(pi)
+    z_ref, (pi0_ref, pi1_ref) = backend.master_open(evals, proofs, beta)
+    assert vec_to_int(out["z"]) == z_ref
+    assert pt(out["pi0"]) == pi0_ref
+    assert pt(out["pi1"]) == pi1_ref
+
+
 def test_msm_bgmw_sharded_matches_naive(rng):
     """The intra-worker sharded BGMW MSM (table axis split over chips,
     partials combined over the mesh) == the unsharded result == the
