@@ -106,14 +106,18 @@ def _unpack_words(pw):
 # The accumulation kernel
 # ---------------------------------------------------------------------------
 
-def _accum_kernel(vk_ref, ti_ref, consts, spw, sinf, ax_in, ay_in, az_in,
-                  ox, oy, oz, ofl):
+def _accum_kernel(vk_ref, ti_ref, consts, spw, sflags, ax_in, ay_in, az_in,
+                  ox, oy, oz, ofl, *, signed: bool = False):
     """Grid step g: acc[tile] = madd(acc[tile], slab_row_g).
 
     vk (visit kind) per g: 0 = continue within the tile (accumulator
     lives in the revisited output block), 1 = first row of the tile this
     round (seed from the carried-in accumulator), 2 = first row ever
     (seed with the identity).
+
+    sflags bit 0 = lane is infinity / invalid; bit 1 (signed variants
+    only) = negate the incoming point (balanced signed digits): -P has
+    the 2N-y lazy representative, one deferred-carry subtract per lane.
     """
     g = pl.program_id(0)
     vk = vk_ref[g]
@@ -134,7 +138,12 @@ def _accum_kernel(vk_ref, ti_ref, consts, spw, sinf, ax_in, ay_in, az_in,
         ofl[...] = jnp.zeros_like(ofl)
 
     sx, sy = _unpack_words(spw[...])
-    inf_lane = jnp.squeeze(sinf[...], axis=0).astype(bool)
+    flags = jnp.squeeze(sflags[...], axis=0)
+    inf_lane = (flags & 1).astype(bool)
+    if signed:
+        neg_lane = (flags >> 1).astype(bool)
+        sy = jnp.where(neg_lane[None],
+                       f.sub_lazy(jnp.zeros_like(sy), sy), sy)
     rx, ry, rz, col = pc._madd_values_incomplete_lazy(
         f, ox[...], oy[...], oz[...], sx, sy, inf_lane
     )
@@ -144,7 +153,8 @@ def _accum_kernel(vk_ref, ti_ref, consts, spw, sinf, ax_in, ay_in, az_in,
     ofl[...] = ofl[...] | col[None].astype(jnp.uint32)
 
 
-def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
+def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
+                      signed: bool = False):
     """One round of slab accumulation on the Pallas fast path."""
     n_tiles = acc.x.shape[-1] // BTILE
     G = vk.shape[0]
@@ -178,7 +188,7 @@ def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
         out_specs=(acc_out, acc_out, acc_out, flag_out),
     )
     ox, oy, oz, fl = pl.pallas_call(
-        _accum_kernel,
+        partial(_accum_kernel, signed=signed),
         grid_spec=grid_spec,
         out_shape=(coord_shape, coord_shape, coord_shape, flag_shape),
         interpret=pc.interpret(),
@@ -187,7 +197,8 @@ def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
     return G1Jac(ox, oy, oz), fl
 
 
-def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
+def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
+                        signed: bool = False):
     """Exact re-run of a round with the complete (rolled) formulas.
 
     Reached only when the incomplete kernel flags a same-point collision
@@ -215,10 +226,12 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac):
         s = g * BTILE
         pw = jax.lax.dynamic_slice_in_dim(slab_pw, s, BTILE, axis=1)
         qx, qy = _unpack_words(pw)
-        q = G1Aff(
-            qx, qy,
-            jax.lax.dynamic_slice_in_dim(slab_inf[0], s, BTILE) > 0,
-        )
+        flags = jax.lax.dynamic_slice_in_dim(slab_inf[0], s, BTILE)
+        if signed:
+            neg = ((flags >> 1) & 1) > 0
+            qy = jnp.where(neg[None],
+                           FP_COMPACT.sub(jnp.zeros_like(qy), qy), qy)
+        q = G1Aff(qx, qy, (flags & 1) > 0)
         new = cv._madd_impl(FP_COMPACT, cur, q)
         ax = jax.lax.dynamic_update_slice_in_dim(ax, new.x, t, axis=1)
         ay = jax.lax.dynamic_update_slice_in_dim(ay, new.y, t, axis=1)
@@ -303,6 +316,78 @@ def _split_heavy_slots(counts, starts, cap: int, spare: int):
     )
 
 
+def _reduce_axis(p: G1Jac, axis: int) -> G1Jac:
+    """Sum a Jacobian batch over one axis (moved minor, tree-reduced)."""
+    def mv(a):
+        return jnp.moveaxis(a, axis, -1)
+
+    out = cv.tree_sum_fast(G1Jac(mv(p.x), mv(p.y), mv(p.z)), stop=1)
+    return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
+
+
+def _pad_lanes(p: G1Jac, width: int) -> G1Jac:
+    pad = width - p.x.shape[-1]
+    if pad == 0:
+        return p
+    z = jnp.zeros(p.x.shape[:-1] + (pad,), jnp.uint32)
+    return G1Jac(
+        jnp.concatenate([p.x, z], -1),
+        jnp.concatenate([p.y, z], -1),
+        jnp.concatenate([p.z, z], -1),
+    )
+
+
+def _weighted_sums_factored(buckets: G1Jac, weights, c: int, B: int) -> G1Jac:
+    """Shared-bucket weighted reduction, factorized: [L, Bp] buckets ->
+    [L, c, R] bit partial sums, exploiting that the first B slots have
+    weight == index.
+
+    The direct bit-decomposition costs c*Bp point adds (c masked copies
+    of every bucket).  Factorizing the index b = g*H + h over a
+    2^(c-ceil(c/2)) x 2^(c//2) grid, the main region needs only the
+    unweighted row/column sums (2*B adds) plus bit masks on the SMALL
+    R/C vectors:
+
+        sum_b b*B_b = H * sum_g g*R_g + sum_h h*C_h
+
+    so bit j < log2(H) reduces over C and bit j >= log2(H) over R.
+    Spare slots (dynamic weights from heavy-bucket splitting) keep the
+    masked form; their residual lanes concatenate onto the same [c, R]
+    terms.  ~2B + c*spare adds instead of c*(B + spare)."""
+    h_bits = c // 2
+    H = 1 << h_bits
+    Gg = B >> h_bits
+    main = G1Jac(
+        buckets.x[..., :B].reshape(FP_LIMBS, Gg, H),
+        buckets.y[..., :B].reshape(FP_LIMBS, Gg, H),
+        buckets.z[..., :B].reshape(FP_LIMBS, Gg, H),
+    )
+    rows = _reduce_axis(main, -1)        # [L, Gg]  R_g = sum_h
+    cols = _reduce_axis(main, -2)        # [L, H]   C_h = sum_g
+    from . import msm as msm_mod
+
+    low = msm_mod._bit_partial_sums(cols, h_bits)        # [L, h_bits, R]
+    high = msm_mod._bit_partial_sums(rows, c - h_bits)   # [L, c-h_bits, R]
+    r_main = max(low.x.shape[-1], high.x.shape[-1])
+    low = _pad_lanes(low, r_main)
+    high = _pad_lanes(high, r_main)
+    main_terms = G1Jac(
+        jnp.concatenate([low.x, high.x], axis=-2),
+        jnp.concatenate([low.y, high.y], axis=-2),
+        jnp.concatenate([low.z, high.z], axis=-2),
+    )                                                    # [L, c, r_main]
+
+    spare = G1Jac(buckets.x[..., B:], buckets.y[..., B:], buckets.z[..., B:])
+    if spare.x.shape[-1] == 0:
+        return main_terms
+    sp_terms = _weighted_partial_sums(spare, weights[..., B:], c)
+    return G1Jac(
+        jnp.concatenate([main_terms.x, sp_terms.x], axis=-1),
+        jnp.concatenate([main_terms.y, sp_terms.y], axis=-1),
+        jnp.concatenate([main_terms.z, sp_terms.z], axis=-1),
+    )                                                    # [L, c, r]
+
+
 def _weighted_partial_sums(buckets: G1Jac, weights, c: int) -> G1Jac:
     """[..., B'] buckets with dynamic per-slot weights -> [L, ..., c, R]
     bit partial sums: generalizes msm._bit_partial_sums to runtime
@@ -325,10 +410,13 @@ def _weighted_partial_sums(buckets: G1Jac, weights, c: int) -> G1Jac:
 
 
 def _split_cap(total: int, n_buckets: int) -> int:
-    """Per-slot load cap: 8x the mean keeps random inputs split-free
+    """Per-slot load cap: 16x the mean keeps random inputs split-free
     (typical max ~ mean + 5*sqrt(mean)) while bounding the spare region
-    at n_buckets/8 slots."""
-    return 8 * max(1, -(-total // n_buckets))
+    at n_buckets/16 slots — the spare slots pay a dynamic-weight
+    reduction (c masked adds each), so fewer is faster; adversarial
+    concentration still fans out and stays ~ceil(total/capacity) rounds
+    (simulate_rounds is the tested guard)."""
+    return 16 * max(1, -(-total // n_buckets))
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -373,7 +461,7 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     counts_s, starts_s, weights = _split_heavy_slots(cnt, starts, cap, spare)
 
     acc, inv_csort = _slab_rounds(
-        packed, inf, order.reshape(-1),
+        packed, inf.astype(jnp.uint32), order.reshape(-1),
         counts_s.reshape(-1), starts_s.reshape(-1),
         n_tiles, G,
     )
@@ -398,14 +486,75 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
                                     to_terms(ps.z)))
 
 
+def signed_window_count(c: int) -> int:
+    """Windows needed for SCALAR_BITS-bit scalars under balanced signed
+    digits: the carry chain adds one bit, and the top window must absorb
+    its incoming carry without emitting one (c*W >= SCALAR_BITS + 1)."""
+    return -(-(SCALAR_BITS + 1) // c)
+
+
+def _signed_digits(scalars, c: int, n_windows: int):
+    """Balanced signed digit decomposition: returns (mag, neg) [W, n].
+
+    d ∈ [0, 2^c) window digits become e ∈ [-(2^(c-1)-1), 2^(c-1)] with a
+    carry into the next window; scalar value = sum_w sign*mag*2^(cw)
+    exactly.  Halves the bucket range (magnitudes <= 2^(c-1)), which the
+    BGMW shared-bucket MSM trades for a larger window c (fewer windows =
+    fewer point adds AND fewer slab gathers)."""
+    from . import msm as msm_mod
+
+    raw = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
+    half = 1 << (c - 1)
+    full = 1 << c
+    mags, negs = [], []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(n_windows):
+        d = raw[w] + carry                       # [n], <= 2^c
+        neg = d > half
+        mags.append(jnp.where(neg, full - d, d))
+        negs.append(neg)
+        carry = neg.astype(raw.dtype)
+    # the top window absorbs its carry without emitting one: its raw
+    # value is < 2^(SCALAR_BITS - c(W-1)) <= 2^(c-1)
+    assert SCALAR_BITS - c * (n_windows - 1) <= c - 1, (
+        "top window cannot absorb the signed-digit carry")
+    return jnp.stack(mags), jnp.stack(negs)
+
+
+def bgmw_digits_for(scalars, c: int, n_windows: int):
+    """(digits_flat, neg_flat|None) for a W-window BGMW table.
+
+    Signed digits are used whenever the table's window count covers the
+    signed decomposition (true for every c that does not divide
+    SCALAR_BITS — ceil(256/c) == ceil(257/c) then); otherwise plain
+    unsigned digits."""
+    from . import msm as msm_mod
+
+    if n_windows == signed_window_count(c):
+        mag, neg = _signed_digits(scalars, c, n_windows)
+        return mag.reshape(-1), neg.reshape(-1)
+    return msm_mod._all_window_digits(scalars, c, n_windows).reshape(-1), None
+
+
 def bgmw_auto_window(n: int) -> int:
-    """Window size for the shared-bucket (BGMW-table) MSM: balance the
-    accumulation adds ceil(256/c)*n against the bucket-reduction work
-    ~c*2^(c-1); at the production per-worker size (2^19) this lands on
-    c=16 (16 windows, 2^16 shared buckets)."""
+    """Window size for the shared-bucket (BGMW-table) MSM.
+
+    Balances the per-(window, point) row cost — one slab gather + one
+    mixed add, the dominant unit — against the factorized bucket
+    reduction (~2 adds per bucket) and the mandatory accumulator-tile
+    rows (~1 madd per bucket).  Signed digits halve the bucket range, so
+    window counts use the signed decomposition (ceil(257/c)); at the
+    production per-worker size (2^19) this lands on c=20 (13 windows,
+    2^19+1 shared buckets)."""
     best, best_cost = 8, None
-    for c in range(8, 19):
-        cost = -(-256 // c) * n + (c << (c - 1))
+    for c in range(8, 23):
+        w = signed_window_count(c)
+        if w == -(-SCALAR_BITS // c):  # signed digits available
+            buckets = 1 << (c - 1)
+        else:
+            w = -(-SCALAR_BITS // c)
+            buckets = 1 << c
+        cost = w * n + 3 * buckets
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
@@ -424,21 +573,21 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
     src/engine/piano.rs:150 via PrecomputationTable,
     piano.rs:469-515).
     """
-    from . import msm as msm_mod
-
     WN = packed_table.shape[0]
     n = scalars.shape[-1]
-    n_windows = WN // n
-    digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
-    return bgmw_from_digits(packed_table, table_inf,
-                            digits.reshape(-1), c)
+    digits_flat, neg_flat = bgmw_digits_for(scalars, c, WN // n)
+    return bgmw_from_digits(packed_table, table_inf, digits_flat, c,
+                            neg_flat)
 
 
 @partial(jax.jit, static_argnums=(3,))
-def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int) -> G1Jac:
+def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
+                     neg_flat=None) -> G1Jac:
     """msm_fused_bgmw body over pre-extracted digits.
 
-    digits_flat: int32 [W*n] c-bit digits aligned with the table rows.
+    digits_flat: int32 [W*n] digits aligned with the table rows —
+    unsigned c-bit digits, or balanced-signed magnitudes when neg_flat
+    (the per-row negate mask) is given, which HALVES the bucket range.
     Separated out so a mesh-sharded caller (parallel.msm_fused_sharded)
     can shard the (window, point) axis: any CONTIGUOUS slice of table
     rows plus its matching digit slice is itself a valid shared-bucket
@@ -446,9 +595,11 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int) -> G1Jac:
     are baked into the table entries)."""
     from . import msm as msm_mod
 
+    signed = neg_flat is not None
     WN = packed_table.shape[0]
-    B = 1 << c
-    cap = _split_cap(WN, B)
+    Bpow = 1 << (c - 1) if signed else 1 << c     # power-of-2 main region
+    B = Bpow + 1 if signed else Bpow              # magnitudes reach 2^(c-1)
+    cap = _split_cap(WN, Bpow)
     spare = max(BTILE // 8, -(-WN // cap))
     Bp = B + spare
     n_tiles = -(-Bp // BTILE)
@@ -468,9 +619,12 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int) -> G1Jac:
     counts_s, starts_s, weights = _split_heavy_slots(counts, starts,
                                                      cap, spare)
 
+    flags_row = table_inf.astype(jnp.uint32)
+    if signed:
+        flags_row = flags_row | (neg_flat.astype(jnp.uint32) << 1)
     acc, inv_csort = _slab_rounds(
-        packed_table, table_inf, order, counts_s, starts_s,
-        n_tiles, G,
+        packed_table, flags_row, order, counts_s, starts_s,
+        n_tiles, G, signed=signed,
     )
     canon = inv_csort[:Bp]
     buckets = G1Jac(
@@ -478,7 +632,7 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int) -> G1Jac:
         jnp.take(acc.y, canon, axis=-1),
         jnp.take(acc.z, canon, axis=-1),
     )
-    s = _weighted_partial_sums(buckets, weights, c)  # [L, c, R]
+    s = _weighted_sums_factored(buckets, weights, c, Bpow)  # [L, c, R]
     return msm_mod._horner_2k(s)
 
 
@@ -516,13 +670,14 @@ def simulate_rounds(counts, n_tiles: int, G: int) -> int:
     return rounds
 
 
-def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
-                 n_tiles: int, G: int):
+def _slab_rounds(packed, flags_row, order_flat, counts_flat, starts_flat,
+                 n_tiles: int, G: int, signed: bool = False):
     """Count-descending slot packing + the multi-round slab loop.
 
     counts/starts are per-slot (flat, any window structure: slot loads
     are pre-capped by _split_heavy_slots, so sorted-space runs are
-    contiguous);
+    contiguous); flags_row is uint32 per table row — bit 0 infinity,
+    bit 1 (signed) negate;
     returns the accumulator [L, n_tiles*BTILE] in packed-slot order and
     the inverse permutation back to flat slot order."""
     BT = n_tiles * BTILE
@@ -590,13 +745,13 @@ def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
         src = jnp.where(valid, order_flat[src_pos], 0).reshape(-1)
 
         slab_pw = jnp.take(packed, src, axis=0).T  # [FP_LIMBS, G*BTILE]
-        slab_inf = (
-            (~valid.reshape(-1)) | inf[src]
-        )[None].astype(jnp.uint32)
+        slab_flags = jnp.where(
+            valid.reshape(-1), flags_row[src], jnp.uint32(1)
+        )[None]
 
         acc = G1Jac(acc_x, acc_y, acc_z)
         new_acc, flags = _run_accum_kernel(
-            vk, tile_id, slab_pw, slab_inf, acc
+            vk, tile_id, slab_pw, slab_flags, acc, signed=signed
         )
         # The kernel works on lazy [0, 2N) representatives; canonicalize
         # per round (3 conditional subtracts over [L, BT] — microseconds)
@@ -610,7 +765,7 @@ def _slab_rounds(packed, inf, order_flat, counts_flat, starts_flat,
         new_acc = jax.lax.cond(
             jnp.any(flags > 0),
             lambda _: _run_accum_fallback(
-                vk, tile_id, slab_pw, slab_inf, acc
+                vk, tile_id, slab_pw, slab_flags, acc, signed=signed
             ),
             lambda _: new_acc,
             operand=None,

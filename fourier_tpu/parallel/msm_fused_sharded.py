@@ -73,20 +73,29 @@ def msm_fused_bgmw_sharded(packed_table, table_inf, scalars, c: int,
     if W % D:
         raise ValueError(f"window count {W} not divisible by mesh size {D}")
 
-    digits = msm_mod._all_window_digits(scalars, c, W)  # [W, n]
+    digits_flat, neg_flat = mf.bgmw_digits_for(scalars, c, W)  # [W*n]
+    digits = digits_flat.reshape(W, n)
+    negs = neg_flat.reshape(W, n) if neg_flat is not None else None
+
+    in_specs = [P(axis, None), P(axis), P(axis, None)]
+    args = [packed_table, table_inf, digits]
+    if negs is not None:
+        in_specs.append(P(axis, None))
+        args.append(negs)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    def _shard(pk, inf, dg):
-        part = mf.bgmw_from_digits(pk, inf, dg.reshape(-1), c)
+    def _shard(pk, inf, dg, *rest):
+        ng = rest[0].reshape(-1) if rest else None
+        part = mf.bgmw_from_digits(pk, inf, dg.reshape(-1), c, ng)
         return _combine_partials(part, axis)
 
-    ox, oy, oz = _shard(packed_table, table_inf, digits)
+    ox, oy, oz = _shard(*args)
     return G1Jac(ox, oy, oz)
 
 

@@ -103,3 +103,30 @@ def test_fused_slab_round_bound():
     one = np.zeros((W, B), np.int64)
     one[0, 1] = n
     assert rounds(one) <= -(-n // capacity) + 1
+
+
+def test_signed_digits_identity(rng):
+    """Balanced signed digits reconstruct the scalar exactly, with
+    magnitudes bounded by 2^(c-1), for any 256-bit value."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.ops.limbs import ints_to_vec
+
+    for cw in (7, 11, 17, 20):
+        W = mf.signed_window_count(cw)
+        vals = [rng.randrange(1 << 256) for _ in range(29)] + [
+            0, 1, (1 << 256) - 1,
+        ]
+        sc = jnp.asarray(ints_to_vec(vals, 16))
+        mag, neg = mf._signed_digits(sc, cw, W)
+        mag = np.asarray(mag)
+        neg = np.asarray(neg)
+        assert mag.max() <= 1 << (cw - 1), cw
+        for i, v in enumerate(vals):
+            total = sum(
+                (-int(m) if g else int(m)) << (cw * w)
+                for w, (m, g) in enumerate(zip(mag[:, i], neg[:, i]))
+            )
+            assert total == v, (cw, i)

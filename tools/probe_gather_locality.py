@@ -35,3 +35,31 @@ mat = (base[None, :] + rng.integers(0, n_src // 1024, (rows, 1024))) % n_src
 timeit("rowwise-monotone", mat.astype(np.int32).reshape(-1))
 # sequential (upper bound)
 timeit("sequential", (np.arange(n_out, dtype=np.int64) % n_src).astype(np.int32))
+
+# -- width sweep: is the cost per ROW or per BYTE? --------------------------
+log("width sweep at fixed row count (8.4M gathers):")
+for width in (8, 16, 24, 32, 64, 128):
+    srcw = jnp.asarray(np.random.default_rng(2).integers(
+        0, 2**32, (n_src, width), dtype=np.uint32))
+    idx = jnp.asarray(rng.integers(0, n_src, n_out, dtype=np.int32))
+    g = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
+    out = g(srcw, idx); np.asarray(out[:1, :1])
+    best = 1e9
+    for _ in range(2):
+        t = time.perf_counter(); out = g(srcw, idx); np.asarray(out[:1, :1])
+        best = min(best, time.perf_counter() - t)
+    gb = n_out * width * 4 / 1e9
+    log(f"  width {width:4d}: {best*1000:7.1f} ms "
+        f"({gb/best:5.1f} GB/s, {n_out/best/1e6:6.1f} Mrows/s)")
+
+# element gather (width 1, minor-most)
+src1 = jnp.asarray(np.random.default_rng(3).integers(
+    0, 2**32, (n_src,), dtype=np.uint32))
+idx = jnp.asarray(rng.integers(0, n_src, n_out, dtype=np.int32))
+g1 = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
+out = g1(src1, idx); np.asarray(out[:1])
+best = 1e9
+for _ in range(2):
+    t = time.perf_counter(); out = g1(src1, idx); np.asarray(out[:1])
+    best = min(best, time.perf_counter() - t)
+log(f"  width    1: {best*1000:7.1f} ms ({n_out/best/1e6:6.1f} Mrows/s)")
