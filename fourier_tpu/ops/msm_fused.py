@@ -539,22 +539,29 @@ def bgmw_digits_for(scalars, c: int, n_windows: int):
 def bgmw_auto_window(n: int) -> int:
     """Window size for the shared-bucket (BGMW-table) MSM.
 
-    Balances the per-(window, point) row cost — one slab gather + one
-    mixed add, the dominant unit — against the factorized bucket
-    reduction (~2 adds per bucket) and the mandatory accumulator-tile
-    rows (~1 madd per bucket).  Signed digits halve the bucket range, so
-    window counts use the signed decomposition (ceil(257/c)); at the
-    production per-worker size (2^19) this lands on c=20 (13 windows,
-    2^19+1 shared buckets)."""
+    Cost model fit to the 2^19 on-chip sweep (tools/sweep_bgmw_c.py,
+    PROFILE_MSM.log): each (window, point) row costs one slab gather +
+    one mixed add (the unit), and each bucket costs ~9 units across the
+    factorized reduction, the spare-slot masked reduction, and the
+    mandatory accumulator-tile rows.  Signed digits halve the bucket
+    range where available (c not dividing SCALAR_BITS).
+
+    Windows whose TOP window has no effective scalar bits are excluded:
+    there the signed-digit carries concentrate ~n/2 entries into ONE
+    bucket (magnitude 1), whose split slots exceed the slab's one-round
+    capacity and force whole extra gather+kernel rounds (measured 2.2x
+    at c=17/2^19)."""
     best, best_cost = 8, None
     for c in range(8, 23):
         w = signed_window_count(c)
         if w == -(-SCALAR_BITS // c):  # signed digits available
             buckets = 1 << (c - 1)
+            if (SCALAR_BITS - 1) - c * (w - 1) < 1:
+                continue  # degenerate top window (see docstring)
         else:
             w = -(-SCALAR_BITS // c)
             buckets = 1 << c
-        cost = w * n + 3 * buckets
+        cost = w * n + 9 * buckets
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
