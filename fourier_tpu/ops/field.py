@@ -77,6 +77,16 @@ class Field:
         # lazy-domain constants: 2N fits the limb radix for both fields
         self.mod2_limbs = int_to_limbs(2 * modulus, n_limbs)    # [L]
         self.compl_mod2 = (_MASK - self.mod2_limbs).astype(np.uint32)
+        # 4N (Fp only — Fr's lazy domain is rejected anyway) and the
+        # top-limb thresholds for the fused conditional reduction in
+        # add_lazy/sub_lazy: a pre-carry top column > t2n (t4n) proves
+        # the value is >= 2N (4N).
+        if 4 * modulus < (1 << radix_bits):
+            self.mod4_limbs = int_to_limbs(4 * modulus, n_limbs)
+        else:
+            self.mod4_limbs = np.zeros(n_limbs, np.uint32)
+        self._t2n = int((2 * modulus) >> (LIMB_BITS * (n_limbs - 1)))
+        self._t4n = int((4 * modulus) >> (LIMB_BITS * (n_limbs - 1)))
         # Limb-embedding lowering: jnp.pad compiles fast under CPU/TPU XLA
         # but Mosaic rejects pad; Pallas kernel views flip this to
         # concatenate (see with_consts).
@@ -395,17 +405,21 @@ class Field:
         res = jax.lax.slice_in_dim(u, L, 2 * L, axis=0)
         return self._cond_sub_mod(res)
 
-    # -- lazy kernel domain: values in [0, 2N) ------------------------------
+    # -- lazy kernel domain: values in [0, 2N + 2^(16(L-1))) ----------------
     #
-    # With R = 2^(16L) > 4N, the Montgomery product of a, b < 2N satisfies
+    # With R = 2^(16L) > 4N, the Montgomery product of a, b < ~2N satisfies
     # (a*b + mN)/R < N(4N/R + 1) < 2N — so a whole chain of muls can stay
-    # in [0, 2N) with NO final conditional subtract per mul, and adds/subs
-    # reduce against 2N instead of N (same cost).  Zero then has two limb
-    # representatives {0, N}: kernel equality branches must use
-    # is_zero_lazy, and results are canonicalized once on kernel exit
-    # (canonicalize).  Used by the MSM accumulation kernel
-    # (ops.msm_fused), where the per-mul subtract and the full-width
-    # first carry are ~15% of the point-add cost.
+    # lazy with NO final conditional subtract per mul.  Adds/subs use a
+    # FUSED conditional reduction: the pre-carry top column alone decides
+    # whether to fold in -2N/-4N (as complement constants) before the
+    # single carry resolution, leaving at most one top-limb unit of
+    # overshoot that the padded domain absorbs (muls contract it back).
+    # Zero then has three limb representatives {0, N, 2N}: kernel
+    # equality branches must use is_zero_lazy, and results are
+    # canonicalized once on kernel exit (canonicalize).  Used by the MSM
+    # accumulation kernel (ops.msm_fused), where the per-mul subtract,
+    # the full-width first carry, and the per-add second carry are ~20%
+    # of the point-add cost.
 
     def _cond_sub_mod2(self, a):
         """Subtract 2N where a >= 2N (requires a < 4N)."""
@@ -414,18 +428,57 @@ class Field:
         limbs, ge = self._carry_with_overflow(t)
         return jnp.where(ge[None], limbs, a)
 
+    # The lazy add/sub below keep values in the PADDED lazy domain
+    # [0, 2N + 2^(16(L-1))): instead of an exact compare-and-subtract
+    # (a second full carry per op), the pre-carry TOP COLUMN alone
+    # decides the reduction — top > t2n (t4n) proves the value >= 2N
+    # (4N), and the at-most-one-top-limb ambiguity is absorbed by the
+    # domain pad.  The pad is closed: muls contract (4N(1+eps)^2 < R
+    # headroom), adds/subs re-reduce below 2N + one top-limb unit, and
+    # zero gains a third representative {0, N, 2N} (is_zero_lazy).
+    # One carry per add/sub instead of two-plus.
+
+    def _comp_cols(self, mod_limbs, ndim):
+        """Column form of 2^(16L) - value(mod_limbs): adding it subtracts
+        the value modulo 2^(16L) (the final carry drops the wrap)."""
+        return (
+            self._bshape(mod_limbs ^ _MASK, ndim)
+            + self._bshape(self.one0, ndim)
+        )
+
+    def _fused_reduce(self, t, top_bias: int):
+        """Conditionally subtract 4N / 2N decided by t's pre-carry TOP
+        COLUMN, then resolve carries once.  Threshold t2n (t4n) proves
+        the value is >= 2N (4N); the at-most-one-top-limb ambiguity is
+        absorbed by the padded lazy domain.  top_bias is the wrap
+        constant already folded into t (2^16 when t's integer form
+        carries 2^(16L))."""
+        self._check_lazy_ok()
+        top = t[-1:]
+        comp2 = self._comp_cols(self.mod2_limbs, t.ndim)
+        comp4 = self._comp_cols(self.mod4_limbs, t.ndim)
+        t = t + jnp.where(
+            top > top_bias + self._t4n,
+            comp4.astype(jnp.uint32),
+            jnp.where(top > top_bias + self._t2n,
+                      comp2.astype(jnp.uint32), jnp.uint32(0)),
+        )
+        return self._carry(t)
+
     def add_lazy(self, a, b):
-        return self._cond_sub_mod2(self._carry(a + b))
+        return self._fused_reduce(a + b, 0)
 
     def sub_lazy(self, a, b):
-        # a - b + 2N  ==  a + ~b + 2N + 1  (mod 2^(16L))
+        # a - b + 4N  ==  a + ~b + 4N + 1 - 2^(16L): 4N keeps the value
+        # positive for b in the padded domain (b < 2N + pad < 4N)
         t = (
             a
             + (b ^ _MASK)
-            + self._bshape(self.mod2_limbs, a.ndim)
+            + self._bshape(self.mod4_limbs, a.ndim)
             + self._bshape(self.one0, a.ndim)
         )
-        return self._cond_sub_mod2(self._carry(t))
+        return self._fused_reduce(t, 1 << LIMB_BITS)
+
 
     def _check_lazy_ok(self):
         # The [0, 2N) closure proof needs R > 4N: true for Fp (2^384 vs
@@ -483,13 +536,15 @@ class Field:
         return jax.lax.slice_in_dim(u, L, 2 * L, axis=0)
 
     def is_zero_lazy(self, a):
-        """Value == 0 for [0, 2N) representatives ({0, N} limb forms)."""
+        """Value == 0 for padded-lazy representatives ({0, N, 2N} forms)."""
         mod = self._bshape(self.mod_limbs, a.ndim)
-        return jnp.all(a == 0, axis=0) | jnp.all(a == mod, axis=0)
+        mod2 = self._bshape(self.mod2_limbs, a.ndim)
+        return (jnp.all(a == 0, axis=0) | jnp.all(a == mod, axis=0)
+                | jnp.all(a == mod2, axis=0))
 
     def canonicalize(self, a):
-        """[0, 2N) representative -> canonical [0, N)."""
-        return self._cond_sub_mod(a)
+        """Padded-lazy representative (< 2N + 2^(16(L-1))) -> [0, N)."""
+        return self._cond_sub_mod(self._cond_sub_mod2(a))
 
     # -- Montgomery domain conversions --------------------------------------
 
@@ -590,7 +645,8 @@ FP = Field(P, FP_LIMBS)
 # -- Pallas support: constants as kernel operands ---------------------------
 
 _CONST_FIELDS = ("mod_limbs", "nprime_limbs", "compl_mod", "one_mont",
-                 "r2_limbs", "one0", "mod2_limbs", "compl_mod2")
+                 "r2_limbs", "one0", "mod2_limbs", "compl_mod2",
+                 "mod4_limbs")
 
 
 def packed_consts(field: Field) -> np.ndarray:

@@ -379,14 +379,18 @@ def _madd_values_incomplete(f, x1, y1, z1, x2, y2, inf2):
 
 
 def _madd_values_incomplete_lazy(f, x1, y1, z1, x2, y2, inf2):
-    """_madd_values_incomplete over [0, 2N) representatives.
+    """_madd_values_incomplete over padded-lazy representatives.
 
     The accumulator (x1, y1, z1) may hold lazy representatives from the
     previous grid step; the affine operand is canonical.  Every mul
     skips its trailing conditional subtract and half its first carry
-    (field.mul_lazy) — together ~15% of the madd.  Equality branches use
-    the two-representative zero test; callers canonicalize kernel
-    outputs once on exit."""
+    (field.mul_lazy), and every add/sub folds its conditional reduction
+    into the single carry resolution (field.add_lazy top-column test) —
+    together the deferred reductions are ~25% of the madd.  (Fusing
+    whole add/sub CHAINS into one carry was measured slightly slower:
+    the per-lane reduction-count multiply outweighs the saved carries.)
+    Equality branches use the three-representative zero test; callers
+    canonicalize kernel outputs once on exit."""
     ml = f.mul_lazy
     sq = f.square_lazy
     ad = f.add_lazy

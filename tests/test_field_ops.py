@@ -130,9 +130,15 @@ def test_lazy_kernel_ops(rng):
         a = jnp.asarray(ints_to_vec(a_reps, field.L))
         b = jnp.asarray(ints_to_vec(b_reps, field.L))
 
+        from fourier_tpu.constants import LIMB_BITS
+
+        # the fused conditional reduction pads the domain by one
+        # top-limb unit (see Field.add_lazy)
+        bound = 2 * N + (1 << (LIMB_BITS * (field.L - 1)))
+
         def values(limbs):
             out = vec_to_ints(jnp.asarray(limbs))
-            assert all(v < 2 * N for v in out), "left the [0, 2N) domain"
+            assert all(v < bound for v in out), "left the lazy domain"
             return [v % N for v in out]
 
         # mul_lazy computes the Montgomery product abR^-1 mod N
@@ -147,11 +153,17 @@ def test_lazy_kernel_ops(rng):
         assert values(fv.sub_lazy(a, b)) == [
             (x - y) % N for x, y in zip(a_reps, b_reps)
         ]
-        # both zero representatives recognized; nonzero values are not
-        zeros = jnp.asarray(ints_to_vec([0, N, 1, N + 1, N - 1], field.L))
+        # all three zero representatives recognized; nonzero values not
+        zeros = jnp.asarray(
+            ints_to_vec([0, N, 2 * N, 1, N + 1, N - 1], field.L))
         assert np.asarray(fv.is_zero_lazy(zeros)).tolist() == [
-            True, True, False, False, False
+            True, True, True, False, False, False
         ]
+        # chained lazy ops stay in the padded domain and exact mod N:
+        # (a + b) - b - b + b == a
+        chain = fv.add_lazy(fv.sub_lazy(fv.sub_lazy(fv.add_lazy(a, b), b),
+                                        b), b)
+        assert values(chain) == [x % N for x in a_reps]
         # canonicalize brings any representative below N
         canon = vec_to_ints(field.canonicalize(a))
         assert canon == [x % N for x in a_reps]
