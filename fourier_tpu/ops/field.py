@@ -429,12 +429,16 @@ class Field:
         return jnp.where(ge[None], limbs, a)
 
     # The lazy add/sub below keep values in the PADDED lazy domain
-    # [0, 2N + 2^(16(L-1))): instead of an exact compare-and-subtract
-    # (a second full carry per op), the pre-carry TOP COLUMN alone
-    # decides the reduction — top > t2n (t4n) proves the value >= 2N
-    # (4N), and the at-most-one-top-limb ambiguity is absorbed by the
-    # domain pad.  The pad is closed: muls contract (4N(1+eps)^2 < R
-    # headroom), adds/subs re-reduce below 2N + one top-limb unit, and
+    # [0, 2N + pad) with pad a small constant number of top-limb units
+    # (< 4 * 2^(16(L-1)), from the column-sum bound): instead of an
+    # exact compare-and-subtract (a second full carry per op), the
+    # pre-carry TOP COLUMN alone decides the reduction — top > t2n
+    # (t4n) proves the value >= 2N (4N).  The top-column test has a
+    # false-negative gap: the pre-carry low columns can carry up to ~2
+    # units into the top for add_lazy (plus ~2N mod unit), and ~3 for
+    # sub_lazy, so reduced values land below 2N + 4 units rather than
+    # 2N + 1.  The pad is closed: muls contract (4N(1+eps)^2 < R
+    # headroom), adds/subs re-reduce into the same padded bound, and
     # zero gains a third representative {0, N, 2N} (is_zero_lazy).
     # One carry per add/sub instead of two-plus.
 
@@ -650,9 +654,9 @@ _CONST_FIELDS = ("mod_limbs", "nprime_limbs", "compl_mod", "one_mont",
 
 
 def packed_consts(field: Field) -> np.ndarray:
-    """Stack the field's [L] constants into one [6, L] operand, so Pallas
-    kernels can receive them as an input (Mosaic rejects captured array
-    constants)."""
+    """Stack the field's [L] constants into one [len(_CONST_FIELDS), L]
+    operand, so Pallas kernels can receive them as an input (Mosaic
+    rejects captured array constants)."""
     return np.stack([getattr(field, n) for n in _CONST_FIELDS])
 
 

@@ -250,7 +250,12 @@ class _HTTPHandler(BaseHTTPRequestHandler):
                 )
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(payload)))
-                # the oversize body is never read: close the connection
+                # The oversize body is never read: close the connection
+                # without draining.  A client still streaming the large
+                # body may observe a connection reset before it reads
+                # this envelope — acceptable for a size-cap defense
+                # (the alternative, draining _MAX_BODY+ bytes, defeats
+                # the cap's purpose).
                 self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(payload)

@@ -132,9 +132,12 @@ def test_lazy_kernel_ops(rng):
 
         from fourier_tpu.constants import LIMB_BITS
 
-        # the fused conditional reduction pads the domain by one
-        # top-limb unit (see Field.add_lazy)
-        bound = 2 * N + (1 << (LIMB_BITS * (field.L - 1)))
+        # the fused conditional reduction pads the domain by a small
+        # constant number of top-limb units (see Field.add_lazy): the
+        # top-column false-negative gap admits up to ~2 units of
+        # overshoot for add_lazy and ~3 for sub_lazy, so assert the
+        # derived 4-unit bound rather than the nominal 1-unit pad
+        bound = 2 * N + 4 * (1 << (LIMB_BITS * (field.L - 1)))
 
         def values(limbs):
             out = vec_to_ints(jnp.asarray(limbs))

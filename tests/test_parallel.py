@@ -117,8 +117,7 @@ def test_msm_fused_bgmw_sharded_interpret(rng, monkeypatch):
     import unittest.mock
 
     mesh = make_mesh(2, axis="chips")
-    n, c = 16, 7  # W = 37 -> not divisible; use c=8 -> W=32
-    c = 8
+    n, c = 16, 8  # c=8 divides SCALAR_BITS -> unsigned digits, W=32
     pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
     scalars = [rng.randrange(R) for _ in range(n)]
     points = cv.affine_from_ints(pts)
