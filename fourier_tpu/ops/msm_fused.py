@@ -22,11 +22,19 @@ count (~1.6x slack).  This module restructures the whole accumulation:
    are ordered by descending load and packed into tiles of BTILE slots.
    Because tile-mates have near-equal counts, padding a tile to its own
    max count costs ~2% (vs ~60% for a global max).
-5. **One packed slab gather** builds a contiguous stream of point
+5. **One packed slab QUAD gather** builds a contiguous stream of point
    tiles: lane (tile t, row r, slot j) holds the r-th point of the j-th
    slot of tile t.  Points travel as 24 u32 words (two 16-bit limbs per
-   word, x and y together, 96 contiguous bytes per point), halving the
-   gather traffic; the kernel unpacks with one mask+shift.
+   word, x and y together, 96 contiguous bytes per point); the kernel
+   unpacks with one mask+shift.  The gather itself moves QUADS of four
+   adjacent table rows (384 B) and the kernel selects the wanted
+   sub-row per lane: XLA's row gather is descriptor-bound (~30 Mrows/s
+   at 96 B rows but ~59 Mrows/s at 384 B rows — tools/PROBE_GATHER2.log),
+   so 4x the bytes at 2x the row rate is a ~2x wall-time win.  The
+   slot bookkeeping rides the digit sort as one packed META word per
+   table row ((row>>2)<<4 | (row&3)<<2 | neg<<1 | inf via
+   jax.lax.sort_key_val), so each round pays ONE element gather
+   (meta_sorted[src_pos]) instead of two (order + flags).
 6. **One Pallas kernel** walks the slab: grid step g mixed-adds one
    [BTILE]-wide row of points into a VMEM-resident accumulator tile,
    revisited across that tile's rows (scalar-prefetched tile ids drive
@@ -102,6 +110,47 @@ def _unpack_words(pw):
     return x, y
 
 
+# Table rows are gathered in groups of _QUAD adjacent rows (one fat
+# descriptor), and the kernel selects the wanted member per lane from
+# flag bits 2..3.
+_QUAD = 4
+
+
+def _quadify(packed):
+    """[rows, FP_LIMBS] packed table -> [ceil(rows/4), 4*FP_LIMBS].
+
+    A free reshape when rows % 4 == 0 (always true in production: rows
+    are n or W*n with n a power of two >= 4); tiny test tables pad."""
+    rows = packed.shape[0]
+    pad = (-rows) % _QUAD
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((pad, packed.shape[1]), packed.dtype)])
+    return packed.reshape(-1, _QUAD * packed.shape[1])
+
+
+def _row_meta(rows: int, flags_row):
+    """Per-table-row packed meta word: (row>>2)<<4 | (row&3)<<2 | flags.
+
+    flags_row: uint32 [rows] with bit 0 = infinity, bit 1 = negate.
+    The meta rides the digit sort (sort_key_val), so slab rounds read
+    quad index, sub-row, and flags with ONE element gather."""
+    r = jnp.arange(rows, dtype=jnp.uint32)
+    return ((r >> 2) << 4) | ((r & 3) << 2) | flags_row
+
+
+def _select_quad(pw, flags):
+    """Select each lane's sub-row from a [4*FP_LIMBS, ...] quad block.
+
+    flags bits 2..3 give the quad member; returns [FP_LIMBS, ...]."""
+    L = FP_LIMBS
+    b0 = ((flags >> 2) & 1).astype(bool)
+    b1 = ((flags >> 3) & 1).astype(bool)
+    a = jnp.where(b0[None], pw[L:2 * L], pw[:L])
+    b = jnp.where(b0[None], pw[3 * L:4 * L], pw[2 * L:3 * L])
+    return jnp.where(b1[None], b, a)
+
+
 # ---------------------------------------------------------------------------
 # The accumulation kernel
 # ---------------------------------------------------------------------------
@@ -117,7 +166,10 @@ def _accum_kernel(vk_ref, ti_ref, consts, spw, sflags, ax_in, ay_in, az_in,
 
     sflags bit 0 = lane is infinity / invalid; bit 1 (signed variants
     only) = negate the incoming point (balanced signed digits): -P has
-    the 2N-y lazy representative, one deferred-carry subtract per lane.
+    the 2N-y lazy representative, one deferred-carry subtract per lane;
+    bits 2..3 = quad member: spw rows are [4*FP_LIMBS]-word QUADS of
+    adjacent table rows and each lane selects its member (two masked
+    selects — the price of the 2x-faster fat-row gather).
     """
     g = pl.program_id(0)
     vk = vk_ref[g]
@@ -137,11 +189,11 @@ def _accum_kernel(vk_ref, ti_ref, consts, spw, sflags, ax_in, ay_in, az_in,
         oz[...] = az_in[...]
         ofl[...] = jnp.zeros_like(ofl)
 
-    sx, sy = _unpack_words(spw[...])
     flags = jnp.squeeze(sflags[...], axis=0)
+    sx, sy = _unpack_words(_select_quad(spw[...], flags))
     inf_lane = (flags & 1).astype(bool)
     if signed:
-        neg_lane = (flags >> 1).astype(bool)
+        neg_lane = ((flags >> 1) & 1).astype(bool)
         sy = jnp.where(neg_lane[None],
                        f.sub_lazy(jnp.zeros_like(sy), sy), sy)
     rx, ry, rz, col = pc._madd_values_incomplete_lazy(
@@ -165,7 +217,7 @@ def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
     def acc_map(g, vk_ref, ti_ref):
         return (0, ti_ref[g])
 
-    word_in = pl.BlockSpec((FP_LIMBS, BTILE), slab_map,
+    word_in = pl.BlockSpec((_QUAD * FP_LIMBS, BTILE), slab_map,
                            memory_space=pltpu.VMEM)
     inf_in = pl.BlockSpec((1, BTILE), slab_map, memory_space=pltpu.VMEM)
     acc_in = pl.BlockSpec((FP_LIMBS, BTILE), acc_map,
@@ -225,8 +277,8 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
         )
         s = g * BTILE
         pw = jax.lax.dynamic_slice_in_dim(slab_pw, s, BTILE, axis=1)
-        qx, qy = _unpack_words(pw)
         flags = jax.lax.dynamic_slice_in_dim(slab_inf[0], s, BTILE)
+        qx, qy = _unpack_words(_select_quad(pw, flags))
         if signed:
             neg = ((flags >> 1) & 1) > 0
             qy = jnp.where(neg[None],
@@ -442,8 +494,11 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     # digit-0 class (weight-0 slots drop out of the reduction).
     digits = jnp.where(inf[None], 0, digits)
 
-    order = jnp.argsort(digits, axis=-1).astype(jnp.int32)      # [W, n]
-    sd = jnp.take_along_axis(digits, order, axis=-1)
+    # Digit sort carrying the packed row meta (quad index / member /
+    # flags) as the sort value — one sort, zero argsort gathers.
+    meta_row = _row_meta(n, inf.astype(jnp.uint32))             # [n]
+    sd, meta_sorted = jax.lax.sort_key_val(
+        digits, jnp.broadcast_to(meta_row[None], digits.shape), -1)
 
     # Per-window bucket starts in sorted space; counts by differencing.
     edges = jax.vmap(
@@ -461,7 +516,7 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     counts_s, starts_s, weights = _split_heavy_slots(cnt, starts, cap, spare)
 
     acc, inv_csort = _slab_rounds(
-        packed, inf.astype(jnp.uint32), order.reshape(-1),
+        _quadify(packed), meta_sorted.reshape(-1),
         counts_s.reshape(-1), starts_s.reshape(-1),
         n_tiles, G,
     )
@@ -614,8 +669,11 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
 
     digits_flat = jnp.where(table_inf, 0, digits_flat)          # [W*n]
 
-    order = jnp.argsort(digits_flat).astype(jnp.int32)
-    sd = digits_flat[order]
+    flags_row = table_inf.astype(jnp.uint32)
+    if signed:
+        flags_row = flags_row | (neg_flat.astype(jnp.uint32) << 1)
+    sd, meta_sorted = jax.lax.sort_key_val(
+        digits_flat, _row_meta(WN, flags_row))
     edges = jnp.searchsorted(
         sd, jnp.arange(B + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -626,11 +684,8 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
     counts_s, starts_s, weights = _split_heavy_slots(counts, starts,
                                                      cap, spare)
 
-    flags_row = table_inf.astype(jnp.uint32)
-    if signed:
-        flags_row = flags_row | (neg_flat.astype(jnp.uint32) << 1)
     acc, inv_csort = _slab_rounds(
-        packed_table, flags_row, order, counts_s, starts_s,
+        _quadify(packed_table), meta_sorted, counts_s, starts_s,
         n_tiles, G, signed=signed,
     )
     canon = inv_csort[:Bp]
@@ -677,15 +732,17 @@ def simulate_rounds(counts, n_tiles: int, G: int) -> int:
     return rounds
 
 
-def _slab_rounds(packed, flags_row, order_flat, counts_flat, starts_flat,
+def _slab_rounds(packed_q, meta_sorted, counts_flat, starts_flat,
                  n_tiles: int, G: int, signed: bool = False):
     """Count-descending slot packing + the multi-round slab loop.
 
     counts/starts are per-slot (flat, any window structure: slot loads
     are pre-capped by _split_heavy_slots, so sorted-space runs are
-    contiguous); flags_row is uint32 per table row — bit 0 infinity,
-    bit 1 (signed) negate;
-    returns the accumulator [L, n_tiles*BTILE] in packed-slot order and
+    contiguous); packed_q is the quadified table (_quadify);
+    meta_sorted is the digit-sorted per-row meta (_row_meta carried
+    through sort_key_val): bits 4.. quad index, bits 2..3 quad member,
+    bit 1 negate (signed), bit 0 infinity.
+    Returns the accumulator [L, n_tiles*BTILE] in packed-slot order and
     the inverse permutation back to flat slot order."""
     BT = n_tiles * BTILE
     pad = BT - counts_flat.shape[0]
@@ -747,14 +804,14 @@ def _slab_rounds(packed, flags_row, order_flat, counts_flat, starts_flat,
             rank < jnp.take(counts_rows, tile_id, axis=0))
         src_pos = jnp.clip(
             jnp.take(starts_rows, tile_id, axis=0) + rank,
-            0, order_flat.shape[0] - 1,
-        )
-        src = jnp.where(valid, order_flat[src_pos], 0).reshape(-1)
+            0, meta_sorted.shape[0] - 1,
+        ).reshape(-1)
+        valid_f = valid.reshape(-1)
+        meta = jnp.take(meta_sorted, src_pos, axis=0)
+        qsrc = jnp.where(valid_f, (meta >> 4).astype(jnp.int32), 0)
 
-        slab_pw = jnp.take(packed, src, axis=0).T  # [FP_LIMBS, G*BTILE]
-        slab_flags = jnp.where(
-            valid.reshape(-1), flags_row[src], jnp.uint32(1)
-        )[None]
+        slab_pw = jnp.take(packed_q, qsrc, axis=0).T  # [4L, G*BTILE]
+        slab_flags = jnp.where(valid_f, meta & 15, jnp.uint32(1))[None]
 
         acc = G1Jac(acc_x, acc_y, acc_z)
         new_acc, flags = _run_accum_kernel(

@@ -2,8 +2,9 @@
 
 Runs each pipeline stage as its own jitted program on the chip:
   digits    c-bit window extraction
-  sort      argsort + searchsorted + split (slot bookkeeping)
-  slab      the per-round gather + index computation (round 1 shape)
+  sort      sort_key_val + searchsorted + split (slot bookkeeping)
+  meta      the per-round meta element gather (meta_sorted[src_pos])
+  slab      the per-round QUAD gather (round 1 shape)
   kernel    one accumulation round (the Pallas madd grid)
   combine   unpermute + weighted partial sums + horner
 
@@ -94,10 +95,10 @@ def main():
     dig_fn = jax.jit(lambda s: msm_mod._all_window_digits(s, c, W).reshape(-1))
     results["digits"], digits_flat = timeit("digits", dig_fn, scal)
 
-    # sort + split bookkeeping
+    # sort + split bookkeeping (meta rides the sort — ops.msm_fused)
     def sort_split(dflat):
-        order = jnp.argsort(dflat).astype(jnp.int32)
-        sd = dflat[order]
+        meta = mf._row_meta(WN, jnp.zeros((WN,), jnp.uint32))
+        sd, meta_sorted = jax.lax.sort_key_val(dflat, meta)
         edges = jnp.searchsorted(
             sd, jnp.arange(B + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
@@ -109,15 +110,16 @@ def main():
         csf = jnp.concatenate([cs, jnp.zeros((pad,), jnp.int32)])
         ssf = jnp.concatenate([ss, jnp.zeros((pad,), jnp.int32)])
         csort = jnp.argsort(-csf).astype(jnp.int32)
-        return order, csf[csort], ssf[csort], csort, w
+        return meta_sorted, csf[csort], ssf[csort], csort, w
 
-    results["sort+split"], (order, counts_slot, starts_slot, csort, weights) = \
+    results["sort+split"], (meta_sorted, counts_slot, starts_slot, csort,
+                            weights) = \
         timeit("sort+split", jax.jit(sort_split), digits_flat)
 
     # round-1 slab indices, computed HOST-SIDE (the jitted slab-build
     # program has crashed the tunnel's remote-compile service twice; the
-    # on-device cost of this stage is ~the gather plus ~50 ms indexing)
-    order_np = np.asarray(order)
+    # on-device cost of this stage is ~the gathers plus ~50 ms indexing)
+    meta_np = np.asarray(meta_sorted)
     counts_np = np.asarray(counts_slot)
     starts_np = np.asarray(starts_slot)
     r_tile = counts_np.reshape(n_tiles, mf.BTILE).max(axis=1)
@@ -135,19 +137,29 @@ def main():
     valid = (rank >= 0) & (
         rank < counts_np.reshape(n_tiles, mf.BTILE)[tile_id_np])
     src_pos = np.clip(starts_np.reshape(n_tiles, mf.BTILE)[tile_id_np]
-                      + rank, 0, WN - 1)
-    src_np = np.where(valid, order_np[src_pos], 0).reshape(-1)
+                      + rank, 0, WN - 1).reshape(-1)
+    valid_f = valid.reshape(-1)
     vk = jnp.asarray(np.where(row_id == 0, 2, 0).astype(np.int32))
     tile_id = jnp.asarray(tile_id_np)
-    slab_inf = jnp.asarray((~valid.reshape(-1))[None].astype(np.uint32))
 
-    # the slab gather with the REAL source indices
+    # the meta element gather with the REAL positions
+    meta_fn = jax.jit(lambda m, s: jnp.take(m, s, axis=0))
+    results["meta-gather"], meta_lanes = timeit(
+        "meta-gather (real src_pos)", meta_fn, jnp.asarray(meta_np),
+        jnp.asarray(src_pos.astype(np.int32)))
+    meta_lanes = np.asarray(meta_lanes)
+    qsrc_np = np.where(valid_f, meta_lanes >> 4, 0).astype(np.int32)
+    slab_inf = jnp.asarray(
+        np.where(valid_f, meta_lanes & 15, 1).astype(np.uint32)[None])
+
+    # the slab QUAD gather with the REAL quad indices
     # NOTE: the table must be an ARGUMENT — a closed-over array becomes
     # an HLO constant and the tunnel's remote_compile rejects the
     # multi-hundred-MB program (HTTP 413).
+    packed_q = jnp.asarray(np.asarray(packed).reshape(-1, 4 * 24))
     src_only = jax.jit(lambda p, s: jnp.take(p, s, axis=0).T)
     results["gather-only"], slab_pw = timeit(
-        "gather-only (real src)", src_only, packed, jnp.asarray(src_np))
+        "gather-only (quad)", src_only, packed_q, jnp.asarray(qsrc_np))
 
     # one accumulation round (the Pallas kernel)
     acc0 = G1Jac(
