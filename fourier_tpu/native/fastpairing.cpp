@@ -3,16 +3,25 @@
 // The reference verifies through blst's C/assembly pairing FFI
 // (reference src/engine/piano.rs:358-464); this is the same architecture
 // for this framework — a native multi-pairing product check behind a
-// small C ABI, consumed via ctypes.  The algorithm mirrors
-// fourier_tpu/refimpl/pairing.py exactly (untwist to E(Fp12), affine
-// Miller loop, easy/hard final exponentiation), so the Python
-// implementation remains the line-by-line ground truth; tests pin
-// accept/reject parity and pairing-value equality between the two.
+// small C ABI, consumed via ctypes.
+//
+// Two pairing implementations live here:
+//  - the REFERENCE path (miller_loop / fp12_pow_be final exp), which
+//    mirrors fourier_tpu/refimpl/pairing.py line by line (untwist to
+//    E(Fp12), affine Miller loop with Fp12 inversions, generic
+//    exponentiation), exported as fw_pairing_ref for cross-checks;
+//  - the FAST path used by fw_pairings_check / fw_pairing: Jacobian
+//    Miller loop on the twist E'(Fp2) with monomial-tracked line
+//    coefficients (no inversions — per-step Fp2 scale factors live in
+//    proper subfields and die in the final exponentiation), Frobenius
+//    maps with init-computed gamma constants, and the exact BLS12
+//    hard-part chain e = ((x-1)^2/3)(x+p)(x^2+p^2-1) + 1 so the
+//    pairing VALUE equals the reference path bit for bit.
 //
 // Fp is 6 x uint64 in Montgomery form with __uint128 CIOS multiplication.
 // Big exponents (p^2 for the easy part, (p^4 - p^2 + 1)/r for the hard
-// part) are passed in from Python as big-endian byte strings so no
-// multiprecision integer machinery is needed here.
+// part) are passed in from Python as big-endian byte strings; the fast
+// path no longer needs them but the ABI is kept.
 //
 // C ABI only.  Build: g++ -O3 -shared -fPIC (see native/__init__.py).
 
@@ -565,6 +574,310 @@ static bool miller_loop(Fp12& o, const Fp& px, const Fp& py,
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// Fast pairing path: Jacobian Miller loop on the twist + Frobenius final
+// exponentiation.  Value-identical to the reference path above (the
+// per-step line scale factors are Fp2 elements, killed by the final
+// exponentiation; the hard part exponentiates by exactly
+// (p^4 - p^2 + 1)/r via the verified identity
+// e = ((x-1)^2/3)(x+p)(x^2+p^2-1) + 1).
+// ---------------------------------------------------------------------------
+
+inline void fp2_conj(Fp2& o, const Fp2& a) {
+    o.c0 = a.c0;
+    fp_neg(o.c1, a.c1);
+}
+
+static void fp2_pow_be(Fp2& o, const Fp2& a, const uint8_t* e, int64_t len) {
+    Fp2 r;
+    memset(&r, 0, sizeof(r));
+    r.c0 = FP_ONE;
+    bool started = false;
+    for (int64_t i = 0; i < len; i++) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) fp2_sqr(r, r);
+            if ((e[i] >> bit) & 1) {
+                if (started) fp2_mul(r, r, a);
+                else { r = a; started = true; }
+            }
+        }
+    }
+    o = r;
+}
+
+// Frobenius gamma constants: G1C[i] = xi^(i(p-1)/6) (Fp2),
+// G2C[i] = G1C[i]^(p+1) = Norm(G1C[i]) (in Fp, stored as Fp2).
+static Fp2 G1C[6], G2C[6];
+static bool FROB_INIT = false;
+
+static void init_frobenius() {
+    if (FROB_INIT) return;
+    init_constants();
+    // (p - 1) / 6 as big-endian bytes (p is odd, p ≡ 1 mod 6)
+    uint64_t t[6];
+    for (int i = 0; i < 6; i++) t[i] = MOD[i];
+    t[0] -= 1;
+    uint64_t rem = 0;
+    for (int i = 5; i >= 0; i--) {
+        u128 cur = ((u128)rem << 64) | t[i];
+        t[i] = (uint64_t)(cur / 6);
+        rem = (uint64_t)(cur % 6);
+    }
+    uint8_t be[48];
+    for (int i = 0; i < 6; i++) {
+        uint64_t w = t[5 - i];
+        for (int j = 0; j < 8; j++) be[8 * i + j] = (uint8_t)(w >> (8 * (7 - j)));
+    }
+    Fp2 xi;  // 1 + u (Montgomery)
+    xi.c0 = FP_ONE;
+    xi.c1 = FP_ONE;
+    memset(&G1C[0], 0, sizeof(Fp2));
+    G1C[0].c0 = FP_ONE;
+    fp2_pow_be(G1C[1], xi, be, 48);
+    for (int i = 2; i < 6; i++) fp2_mul(G1C[i], G1C[i - 1], G1C[1]);
+    for (int i = 0; i < 6; i++) {
+        Fp2 c;
+        fp2_conj(c, G1C[i]);
+        fp2_mul(G2C[i], G1C[i], c);
+    }
+    FROB_INIT = true;
+}
+
+// w-basis view: element = sum_i g_i w^i with g0=c0.c0, g1=c1.c0,
+// g2=c0.c1, g3=c1.c1, g4=c0.c2, g5=c1.c2 (w^2 = v).
+static void fp12_frob1(Fp12& o, const Fp12& a) {
+    const Fp2* g[6] = {&a.c0.c0, &a.c1.c0, &a.c0.c1,
+                       &a.c1.c1, &a.c0.c2, &a.c1.c2};
+    Fp12 r;
+    Fp2* out[6] = {&r.c0.c0, &r.c1.c0, &r.c0.c1,
+                   &r.c1.c1, &r.c0.c2, &r.c1.c2};
+    for (int i = 0; i < 6; i++) {
+        Fp2 c;
+        fp2_conj(c, *g[i]);
+        fp2_mul(*out[i], c, G1C[i]);
+    }
+    o = r;
+}
+
+static void fp12_frob2(Fp12& o, const Fp12& a) {
+    const Fp2* g[6] = {&a.c0.c0, &a.c1.c0, &a.c0.c1,
+                       &a.c1.c1, &a.c0.c2, &a.c1.c2};
+    Fp12 r;
+    Fp2* out[6] = {&r.c0.c0, &r.c1.c0, &r.c0.c1,
+                   &r.c1.c1, &r.c0.c2, &r.c1.c2};
+    for (int i = 0; i < 6; i++) fp2_mul(*out[i], *g[i], G2C[i]);
+    o = r;
+}
+
+// complex squaring: (A + Bw)^2 = (A^2 + vB^2) + 2ABw, via
+// (A+B)(A+vB) - AB - vAB; 2 fp6_mul instead of 3.
+static void fp12_sqr_fast(Fp12& o, const Fp12& a) {
+    Fp6 ab, vb, s, t, abv;
+    fp6_mul(ab, a.c0, a.c1);
+    fp6_mul_by_v(vb, a.c1);
+    Fp6 apb, apvb;
+    fp6_add(apb, a.c0, a.c1);
+    fp6_add(apvb, a.c0, vb);
+    fp6_mul(s, apb, apvb);
+    fp6_mul_by_v(abv, ab);
+    fp6_sub(t, s, ab);
+    fp6_sub(o.c0, t, abv);
+    fp6_add(o.c1, ab, ab);
+}
+
+static void fp12_pow_u64(Fp12& o, const Fp12& a, uint64_t e) {
+    Fp12 r = fp12_one();
+    bool started = false;
+    for (int i = 63; i >= 0; i--) {
+        if (started) fp12_sqr_fast(r, r);
+        if ((e >> i) & 1) {
+            if (started) fp12_mul(r, r, a);
+            else { r = a; started = true; }
+        }
+    }
+    o = r;
+}
+
+// Line value as Fp12: sparse at w^0, w^3, w^5 (the untwisted tangent /
+// chord through T scaled by Fp2 constants — see the derivation in the
+// dbl/add steps).
+static void line_to_fp12(Fp12& o, const Fp2& l0, const Fp2& l3,
+                         const Fp2& l5) {
+    memset(&o, 0, sizeof(o));
+    o.c0.c0 = l0;
+    o.c1.c1 = l3;
+    o.c1.c2 = l5;
+}
+
+inline void fp2_scale_fp(Fp2& o, const Fp2& a, const Fp& s) {
+    fp_mul(o.c0, a.c0, s);
+    fp_mul(o.c1, a.c1, s);
+}
+
+struct TwistJac { Fp2 X, Y, Z; };
+
+// Tangent line at T evaluated at P, with T <- 2T (Jacobian, a = 0).
+// Derivation: with untwist x = a w^-2, y = b w^-3 (a = X/Z^2, b = Y/Z^3),
+// lambda = (3a^2/2b) w^-1, and l = yp - y_T - lambda (xp - x_T); scaling
+// by the Fp2 constant 2b Z^6 xi gives
+//   L0 = 2 Y Z^3 xi yp,  L3 = 3X^3 - 2Y^2,  L5 = -3 X^2 Z^2 xp.
+static void dbl_step(TwistJac& t, Fp12& l, const Fp& px, const Fp& py) {
+    Fp2 X2, Y2, Z2;
+    fp2_sqr(X2, t.X);
+    fp2_sqr(Y2, t.Y);
+    fp2_sqr(Z2, t.Z);
+    Fp2 X3c, tmp;
+    fp2_mul(X3c, X2, t.X);
+    Fp2 L3;
+    fp2_add(tmp, X3c, X3c);
+    fp2_add(tmp, tmp, X3c);        // 3X^3
+    Fp2 twoY2;
+    fp2_add(twoY2, Y2, Y2);
+    fp2_sub(L3, tmp, twoY2);
+    Fp2 Z3p, YZ3;
+    fp2_mul(Z3p, Z2, t.Z);
+    fp2_mul(YZ3, t.Y, Z3p);
+    Fp2 L0;
+    fp2_add(L0, YZ3, YZ3);
+    fp2_mul_by_xi(L0, L0);
+    fp2_scale_fp(L0, L0, py);
+    Fp2 X2Z2, L5;
+    fp2_mul(X2Z2, X2, Z2);
+    fp2_add(tmp, X2Z2, X2Z2);
+    fp2_add(tmp, tmp, X2Z2);       // 3 X^2 Z^2
+    fp2_neg(L5, tmp);
+    fp2_scale_fp(L5, L5, px);
+    line_to_fp12(l, L0, L3, L5);
+    // dbl-2009-l (a = 0): X3 = 9X^4 - 8XY^2 etc. via A/B/C/D/E/F
+    Fp2 C, XpB, D, E, F, X3n, Y3n, Z3n, C8;
+    fp2_sqr(C, Y2);                // Y^4
+    fp2_add(XpB, t.X, Y2);
+    fp2_sqr(D, XpB);
+    fp2_sub(D, D, X2);
+    fp2_sub(D, D, C);
+    fp2_add(D, D, D);              // D = 2((X+Y^2)^2 - X^2 - Y^4)
+    fp2_add(E, X2, X2);
+    fp2_add(E, E, X2);             // 3X^2
+    fp2_sqr(F, E);
+    fp2_sub(X3n, F, D);
+    fp2_sub(X3n, X3n, D);
+    fp2_mul(Z3n, t.Y, t.Z);
+    fp2_add(Z3n, Z3n, Z3n);        // 2YZ
+    fp2_sub(Y3n, D, X3n);
+    fp2_mul(Y3n, E, Y3n);
+    fp2_add(C8, C, C);
+    fp2_add(C8, C8, C8);
+    fp2_add(C8, C8, C8);           // 8Y^4
+    fp2_sub(Y3n, Y3n, C8);
+    t.X = X3n;
+    t.Y = Y3n;
+    t.Z = Z3n;
+}
+
+// Chord line through T and affine Q evaluated at P, with T <- T + Q
+// (Jacobian mixed add).  lambda = r/(ZH) on the twist; scaling l by
+// Z3 = ZH (times xi) gives
+//   L0 = Z3 xi yp,  L3 = r qx - Z3 qy,  L5 = -r xp.
+// Returns false on a degenerate chord (T = +/-Q): callers fall back to
+// the reference path, matching its mid-loop-infinity semantics.
+static bool add_step(TwistJac& t, Fp12& l, const Fp2& qx, const Fp2& qy,
+                     const Fp& px, const Fp& py) {
+    Fp2 Z1Z1, U2, S2, H, r;
+    fp2_sqr(Z1Z1, t.Z);
+    fp2_mul(U2, qx, Z1Z1);
+    fp2_mul(S2, qy, t.Z);
+    fp2_mul(S2, S2, Z1Z1);
+    fp2_sub(H, U2, t.X);
+    fp2_sub(r, S2, t.Y);
+    if (fp2_is_zero(H)) return false;
+    Fp2 HH, HHH, V, r2, X3, Z3, Y3, tmp, YH3;
+    fp2_sqr(HH, H);
+    fp2_mul(HHH, HH, H);
+    fp2_mul(V, t.X, HH);
+    fp2_sqr(r2, r);
+    fp2_sub(X3, r2, HHH);
+    fp2_sub(X3, X3, V);
+    fp2_sub(X3, X3, V);
+    fp2_mul(Z3, t.Z, H);
+    fp2_sub(tmp, V, X3);
+    fp2_mul(Y3, r, tmp);
+    fp2_mul(YH3, t.Y, HHH);
+    fp2_sub(Y3, Y3, YH3);
+    Fp2 L0, L3, L5, ra, zb;
+    fp2_mul_by_xi(L0, Z3);
+    fp2_scale_fp(L0, L0, py);
+    fp2_mul(ra, r, qx);
+    fp2_mul(zb, Z3, qy);
+    fp2_sub(L3, ra, zb);
+    fp2_neg(L5, r);
+    fp2_scale_fp(L5, L5, px);
+    line_to_fp12(l, L0, L3, L5);
+    t.X = X3;
+    t.Y = Y3;
+    t.Z = Z3;
+    return true;
+}
+
+// Fast Miller function: same divisor as miller_loop (conjugated for
+// x < 0), value equal up to Fp2 factors that the final exponentiation
+// kills.  Returns false on degenerate chains -> reference fallback.
+static bool miller_loop_fast(Fp12& o, const Fp& px, const Fp& py,
+                             const Fp2& qx, const Fp2& qy) {
+    TwistJac t;
+    t.X = qx;
+    t.Y = qy;
+    memset(&t.Z, 0, sizeof(t.Z));
+    t.Z.c0 = FP_ONE;
+    Fp12 f = fp12_one();
+    int top = 63;
+    while (!((BLS_X_ABS >> top) & 1)) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        Fp12 l;
+        fp12_sqr_fast(f, f);
+        dbl_step(t, l, px, py);
+        if (fp2_is_zero(t.Z)) return false;
+        fp12_mul(f, f, l);
+        if ((BLS_X_ABS >> i) & 1) {
+            if (!add_step(t, l, qx, qy, px, py)) return false;
+            if (fp2_is_zero(t.Z)) return false;
+            fp12_mul(f, f, l);
+        }
+    }
+    fp12_conj(o, f);  // x < 0
+    return true;
+}
+
+// Exact final exponentiation f^((p^12-1)/r): easy part, then the hard
+// part via e = ((x-1)^2/3)(x+p)(x^2+p^2-1) + 1 (verified identity; x
+// negative, u = |x|, conjugation = inversion in the cyclotomic
+// subgroup).  Value-identical to fp12_pow_be by the hard exponent.
+static void final_exp_fast(Fp12& o, const Fp12& fin) {
+    init_frobenius();
+    Fp12 c, i1, f, f2;
+    fp12_conj(c, fin);
+    fp12_inv(i1, fin);
+    fp12_mul(f, c, i1);            // f^(p^6 - 1)
+    fp12_frob2(f2, f);
+    fp12_mul(f, f2, f);            // ^(p^2 + 1)
+    const uint64_t U = BLS_X_ABS;
+    const uint64_t K = 0x460055555555aaabULL;  // (u+1)/3
+    Fp12 a, b, t, af;
+    fp12_pow_u64(a, f, K);
+    fp12_pow_u64(a, a, U + 1);     // a = f^((x-1)^2/3)
+    fp12_pow_u64(t, a, U);
+    fp12_conj(t, t);               // a^x
+    fp12_frob1(af, a);             // a^p
+    fp12_mul(b, t, af);            // b = a^(x+p)
+    Fp12 bu, bf, bc, r;
+    fp12_pow_u64(bu, b, U);
+    fp12_pow_u64(bu, bu, U);       // b^(x^2)
+    fp12_frob2(bf, b);             // b^(p^2)
+    fp12_conj(bc, b);              // b^(-1)
+    fp12_mul(r, bu, bf);
+    fp12_mul(r, r, bc);            // b^(x^2+p^2-1)
+    fp12_mul(o, r, f);             // f^e = (...) * f
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -761,6 +1074,7 @@ extern "C" {
 int fw_pairings_check(const uint8_t* g1s, const uint8_t* g2s, int64_t n,
                       const uint8_t* p2_be, int64_t p2_len,
                       const uint8_t* hard_be, int64_t hard_len) {
+    (void)p2_be; (void)p2_len; (void)hard_be; (void)hard_len;
     init_constants();
     Fp12 f = fp12_one();
     for (int64_t k = 0; k < n; k++) {
@@ -779,27 +1093,44 @@ int fw_pairings_check(const uint8_t* g1s, const uint8_t* g2s, int64_t n,
         fp_from_be(qy.c0, g2 + 96);
         fp_from_be(qy.c1, g2 + 144);
         Fp12 m;
-        if (!miller_loop(m, px, py, qx, qy)) return -1;
+        if (!miller_loop_fast(m, px, py, qx, qy)) return -1;
         fp12_mul(f, f, m);
     }
-    // easy part: f^((p^6-1)(p^2+1))
-    Fp12 conj, inv, t;
-    fp12_conj(conj, f);
-    fp12_inv(inv, f);
-    fp12_mul(f, conj, inv);
-    fp12_pow_be(t, f, p2_be, p2_len);
-    fp12_mul(f, t, f);
-    // hard part
-    fp12_pow_be(f, f, hard_be, hard_len);
+    final_exp_fast(f, f);
     return fp12_is_one(f) ? 1 : 0;
 }
 
 // Debug/test export: full pairing e(P, Q), written as 12*48 canonical BE
 // bytes (tower order c0..c1, each Fp6 c0.c0,c0.c1,c1.c0,... matching the
 // Python refimpl field order).
+static void write_fp12_be(uint8_t* out, const Fp12& f);
+
 int fw_pairing(const uint8_t* g1, const uint8_t* g2,
                const uint8_t* p2_be, int64_t p2_len,
                const uint8_t* hard_be, int64_t hard_len, uint8_t* out) {
+    (void)p2_be; (void)p2_len; (void)hard_be; (void)hard_len;
+    init_constants();
+    Fp px, py;
+    fp_from_be(px, g1);
+    fp_from_be(py, g1 + 48);
+    Fp2 qx, qy;
+    fp_from_be(qx.c0, g2);
+    fp_from_be(qx.c1, g2 + 48);
+    fp_from_be(qy.c0, g2 + 96);
+    fp_from_be(qy.c1, g2 + 144);
+    Fp12 f;
+    if (!miller_loop_fast(f, px, py, qx, qy)) return -1;
+    final_exp_fast(f, f);
+    write_fp12_be(out, f);
+    return 0;
+}
+
+// Reference-path pairing (affine Fp12 Miller loop + generic pow final
+// exp, mirroring refimpl/pairing.py) — kept as a cross-check oracle for
+// the fast path; tests assert fw_pairing == fw_pairing_ref.
+int fw_pairing_ref(const uint8_t* g1, const uint8_t* g2,
+                   const uint8_t* p2_be, int64_t p2_len,
+                   const uint8_t* hard_be, int64_t hard_len, uint8_t* out) {
     init_constants();
     Fp px, py;
     fp_from_be(px, g1);
@@ -818,7 +1149,11 @@ int fw_pairing(const uint8_t* g1, const uint8_t* g2,
     fp12_pow_be(t, f, p2_be, p2_len);
     fp12_mul(f, t, f);
     fp12_pow_be(f, f, hard_be, hard_len);
+    write_fp12_be(out, f);
+    return 0;
+}
 
+static void write_fp12_be(uint8_t* out, const Fp12& f) {
     const Fp* fps[12] = {
         &f.c0.c0.c0, &f.c0.c0.c1, &f.c0.c1.c0, &f.c0.c1.c1,
         &f.c0.c2.c0, &f.c0.c2.c1, &f.c1.c0.c0, &f.c1.c0.c1,
@@ -837,7 +1172,6 @@ int fw_pairing(const uint8_t* g1, const uint8_t* g2,
                 out[48 * k + 8 * i + j] = (uint8_t)(w >> (8 * (7 - j)));
         }
     }
-    return 0;
 }
 
 // G1 MSM: out = sum_i scalars[i] * P_i.  Affine BE in/out (96 B per

@@ -89,6 +89,32 @@ def test_pairing_value_matches_refimpl(plib, rng):
     assert got == flat
 
 
+def test_pairing_fast_vs_reference_path(plib, rng):
+    """The fast pairing (twist-Jacobian Miller loop + Frobenius final
+    exp) == the in-library reference path (affine Fp12 Miller loop +
+    generic pow final exp) bit for bit: the Fp2 line-scale factors must
+    vanish in the final exponentiation and the hard-part chain must
+    exponentiate by exactly (p^4 - p^2 + 1)/r."""
+    import ctypes
+
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g2_mul
+
+    p2_be, hard_be = native._exponents()
+    plib.fw_pairing_ref.restype = ctypes.c_int
+    for _ in range(2):
+        p = g1_mul(G1_GEN, rng.randrange(2, R))
+        q = g2_mul(G2_GEN, rng.randrange(2, R))
+        fast = native.pairing_value(p, q)
+        out = (ctypes.c_uint8 * (12 * 48))()
+        rc = plib.fw_pairing_ref(native._enc_g1(p), native._enc_g2(q),
+                                 p2_be, len(p2_be), hard_be, len(hard_be),
+                                 out)
+        assert rc == 0
+        ref = [int.from_bytes(bytes(out[48 * k:48 * k + 48]), "big")
+               for k in range(12)]
+        assert fast == ref
+
+
 def test_pairing_bilinearity_native(plib, rng):
     from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g2_mul
 
