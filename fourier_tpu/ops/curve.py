@@ -128,8 +128,8 @@ def _add_impl(f, p: G1Jac, q: G1Jac) -> G1Jac:
     x3 = f.select(same, dp.x, x3)
     y3 = f.select(same, dp.y, y3)
     z3 = f.select(same, dp.z, z3)
-    p_inf = is_identity(p)
-    q_inf = is_identity(q)
+    p_inf = f.is_zero(p.z)
+    q_inf = f.is_zero(q.z)
     x3 = f.select(p_inf, q.x, f.select(q_inf, p.x, x3))
     y3 = f.select(p_inf, q.y, f.select(q_inf, p.y, y3))
     z3 = f.select(p_inf, q.z, f.select(q_inf, p.z, z3))
@@ -164,7 +164,7 @@ def _madd_impl(f, p: G1Jac, q: G1Aff) -> G1Jac:
     y3 = f.select(same, dp.y, y3)
     z3 = f.select(same, dp.z, z3)
     # q at infinity -> p unchanged; p at infinity -> q (lifted to z=1)
-    p_inf = is_identity(p)
+    p_inf = f.is_zero(p.z)
     one = f.broadcast_const(f.one_mont, p.z.shape[1:])
     x3 = f.select(p_inf, q.x, x3)
     y3 = f.select(p_inf, q.y, y3)
