@@ -142,6 +142,27 @@ def test_horner_2k_kernel(rng):
     assert got == expect
 
 
+def test_msm_fused_quad_pad(rng):
+    """n not a multiple of the gather quad (ops.msm_fused._quadify pads
+    the packed table): the padded rows must never leak into the sum."""
+    from fourier_tpu.constants import FR_LIMBS
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.ops.limbs import ints_to_vec
+
+    n = 13
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, FR_LIMBS))
+
+    import unittest.mock
+    with unittest.mock.patch.object(mf, "BTILE", 128):
+        want = cv.jac_to_int_points(msm_mod.msm_naive(points, sc))[0]
+        got = cv.jac_to_int_points(mf.msm_fused(points, sc, 5))[0]
+        assert got == want
+
+
 def test_msm_fused_slab(rng):
     """The fused-slab MSM (ops.msm_fused) vs the naive oracle, covering
     the adversarial lanes of its round loop: an infinity point, a zero
