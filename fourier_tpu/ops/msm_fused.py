@@ -752,6 +752,13 @@ def _slab_rounds(packed_q, meta_sorted, counts_flat, starts_flat,
         starts_flat = jnp.concatenate(
             [starts_flat, jnp.zeros((pad,), jnp.int32)])
 
+    # Meta as width-8 rows for the per-round lookup (see round_body).
+    mpad = (-meta_sorted.shape[0]) % 8
+    if mpad:
+        meta_sorted = jnp.concatenate(
+            [meta_sorted, jnp.zeros((mpad,), meta_sorted.dtype)])
+    meta_oct = meta_sorted.reshape(-1, 8)
+
     # Count-descending slot packing.
     csort = jnp.argsort(-counts_flat).astype(jnp.int32)          # [BT]
     inv_csort = jnp.argsort(csort).astype(jnp.int32)
@@ -807,7 +814,17 @@ def _slab_rounds(packed_q, meta_sorted, counts_flat, starts_flat,
             0, meta_sorted.shape[0] - 1,
         ).reshape(-1)
         valid_f = valid.reshape(-1)
-        meta = jnp.take(meta_sorted, src_pos, axis=0)
+        # Meta lookup as width-8 row gathers + a select tree: 1/8th the
+        # gather descriptors of an element gather at a comparable row
+        # rate (tools/PROBE_GATHER2.log), ~3x cheaper end to end.
+        octs = jnp.take(meta_oct, src_pos >> 3, axis=0)          # [GB, 8]
+        sel = src_pos & 7
+        cols = [octs[:, k] for k in range(8)]
+        for bit in range(3):
+            pick = ((sel >> bit) & 1).astype(bool)
+            cols = [jnp.where(pick, cols[2 * i + 1], cols[2 * i])
+                    for i in range(len(cols) // 2)]
+        meta = cols[0]
         qsrc = jnp.where(valid_f, (meta >> 4).astype(jnp.int32), 0)
 
         slab_pw = jnp.take(packed_q, qsrc, axis=0).T  # [4L, G*BTILE]

@@ -142,11 +142,25 @@ def main():
     vk = jnp.asarray(np.where(row_id == 0, 2, 0).astype(np.int32))
     tile_id = jnp.asarray(tile_id_np)
 
-    # the meta element gather with the REAL positions
-    meta_fn = jax.jit(lambda m, s: jnp.take(m, s, axis=0))
+    # the meta lookup with the REAL positions, as production does it:
+    # width-8 row gathers + a select tree (ops.msm_fused round_body)
+    mpad = (-meta_np.shape[0]) % 8
+    meta_padded = np.concatenate([meta_np, np.zeros(mpad, meta_np.dtype)])
+    meta_oct_np = meta_padded.reshape(-1, 8)
+
+    def meta_fn(m8, s):
+        octs = jnp.take(m8, s >> 3, axis=0)
+        sel = s & 7
+        cols = [octs[:, k] for k in range(8)]
+        for bit in range(3):
+            pick = ((sel >> bit) & 1).astype(bool)
+            cols = [jnp.where(pick, cols[2 * i + 1], cols[2 * i])
+                    for i in range(len(cols) // 2)]
+        return cols[0]
+
     results["meta-gather"], meta_lanes = timeit(
-        "meta-gather (real src_pos)", meta_fn, jnp.asarray(meta_np),
-        jnp.asarray(src_pos.astype(np.int32)))
+        "meta-gather (oct, real src_pos)", jax.jit(meta_fn),
+        jnp.asarray(meta_oct_np), jnp.asarray(src_pos.astype(np.int32)))
     meta_lanes = np.asarray(meta_lanes)
     qsrc_np = np.where(valid_f, meta_lanes >> 4, 0).astype(np.int32)
     slab_inf = jnp.asarray(
