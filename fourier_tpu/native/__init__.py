@@ -47,7 +47,8 @@ def _load(stem: str):
     if not os.path.exists(lib_path):
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                 "-o", lib_path, src],
                 check=True,
                 capture_output=True,
             )

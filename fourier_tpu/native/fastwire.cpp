@@ -9,8 +9,11 @@
 //
 // C ABI only (consumed via ctypes).  Build: make native  (g++ -O3 -shared).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -73,6 +76,30 @@ void encode_one(const uint8_t* in, int64_t in_len, char* out, int64_t* out_len) 
     *out_len = oi;
 }
 
+// Data-parallel batch driver: ctypes releases the GIL for the whole
+// call, so the wire kernels below fan their item loops over threads
+// (the RPC body for a scale-20 worker is ~24 MB of base64 — the decode
+// was the largest single serving-path cost after the MSM itself).
+template <class F>
+static void par_chunks(int64_t n, F f) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nt = (int64_t)(hw ? hw : 1);
+    if (nt > 8) nt = 8;
+    if (n < 8192 || nt <= 1) {
+        f((int64_t)0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; t++) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        ts.emplace_back([=] { f(lo, hi); });
+    }
+    for (auto& th : ts) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -82,22 +109,32 @@ extern "C" {
 // malformed item.
 int64_t fw_b64decode_many(const char* data, const int64_t* offsets, int64_t n,
                           uint8_t* out, int64_t item_len) {
-    for (int64_t k = 0; k < n; k++) {
-        if (decode_one(data + offsets[k], offsets[k + 1] - offsets[k],
-                       out + k * item_len, item_len) != 0)
-            return k;
-    }
-    return -1;
+    std::atomic<int64_t> bad(-1);
+    par_chunks(n, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            if (decode_one(data + offsets[k], offsets[k + 1] - offsets[k],
+                           out + k * item_len, item_len) != 0) {
+                int64_t cur = bad.load();
+                while ((cur == -1 || k < cur) &&
+                       !bad.compare_exchange_weak(cur, k)) {}
+                return;
+            }
+        }
+    });
+    return bad.load();
 }
 
 // Encode n items of item_len bytes as unpadded base64, '\n'-separated is
 // not used: fixed stride out_stride = ceil(item_len*4/3) (unpadded length).
 void fw_b64encode_many(const uint8_t* data, int64_t n, int64_t item_len,
                        char* out, int64_t out_stride) {
-    for (int64_t k = 0; k < n; k++) {
-        int64_t written = 0;
-        encode_one(data + k * item_len, item_len, out + k * out_stride, &written);
-    }
+    par_chunks(n, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            int64_t written = 0;
+            encode_one(data + k * item_len, item_len, out + k * out_stride,
+                       &written);
+        }
+    });
 }
 
 // Big-endian nbytes-wide values -> little-endian 16-bit limbs in uint32.
@@ -105,32 +142,36 @@ void fw_b64encode_many(const uint8_t* data, int64_t n, int64_t item_len,
 void fw_be_to_limbs(const uint8_t* in, int64_t n, int64_t nbytes,
                     uint32_t* out, int64_t n_limbs) {
     const int64_t pairs = nbytes / 2;
-    for (int64_t k = 0; k < n; k++) {
-        const uint8_t* row = in + k * nbytes;
-        uint32_t* o = out + k * n_limbs;
-        for (int64_t l = 0; l < n_limbs; l++) {
-            if (l < pairs) {
-                int64_t hi_idx = nbytes - 2 - 2 * l;
-                o[l] = ((uint32_t)row[hi_idx] << 8) | row[hi_idx + 1];
-            } else {
-                o[l] = 0;
+    par_chunks(n, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            const uint8_t* row = in + k * nbytes;
+            uint32_t* o = out + k * n_limbs;
+            for (int64_t l = 0; l < n_limbs; l++) {
+                if (l < pairs) {
+                    int64_t hi_idx = nbytes - 2 - 2 * l;
+                    o[l] = ((uint32_t)row[hi_idx] << 8) | row[hi_idx + 1];
+                } else {
+                    o[l] = 0;
+                }
             }
         }
-    }
+    });
 }
 
 // Little-endian 16-bit limbs -> big-endian nbytes encodings.
 void fw_limbs_to_be(const uint32_t* in, int64_t n, int64_t n_limbs,
                     uint8_t* out, int64_t nbytes) {
-    for (int64_t k = 0; k < n; k++) {
-        const uint32_t* row = in + k * n_limbs;
-        uint8_t* o = out + k * nbytes;
-        memset(o, 0, nbytes);
-        for (int64_t l = 0; l < n_limbs && 2 * l + 1 < nbytes; l++) {
-            o[nbytes - 1 - 2 * l] = (uint8_t)(row[l] & 0xff);
-            o[nbytes - 2 - 2 * l] = (uint8_t)((row[l] >> 8) & 0xff);
+    par_chunks(n, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            const uint32_t* row = in + k * n_limbs;
+            uint8_t* o = out + k * nbytes;
+            memset(o, 0, nbytes);
+            for (int64_t l = 0; l < n_limbs && 2 * l + 1 < nbytes; l++) {
+                o[nbytes - 1 - 2 * l] = (uint8_t)(row[l] & 0xff);
+                o[nbytes - 2 - 2 * l] = (uint8_t)((row[l] >> 8) & 0xff);
+            }
         }
-    }
+    });
 }
 
 // Fused scalar wire decode: base64 -> 32B BE -> [n, n_limbs] limbs with a
@@ -139,23 +180,31 @@ void fw_limbs_to_be(const uint32_t* in, int64_t n, int64_t n_limbs,
 int64_t fw_decode_scalars(const char* data, const int64_t* offsets, int64_t n,
                           const uint8_t* modulus_be, uint32_t* out,
                           int64_t n_limbs) {
-    uint8_t buf[32];
-    for (int64_t k = 0; k < n; k++) {
-        if (decode_one(data + offsets[k], offsets[k + 1] - offsets[k], buf, 32) != 0)
-            return k;
-        // canonical: buf < modulus (big-endian lexicographic)
-        int cmp = memcmp(buf, modulus_be, 32);
-        if (cmp >= 0) return k;
-        uint32_t* o = out + k * n_limbs;
-        for (int64_t l = 0; l < n_limbs; l++) {
-            if (2 * l + 1 < 32) {
-                o[l] = ((uint32_t)buf[32 - 2 - 2 * l] << 8) | buf[32 - 1 - 2 * l];
-            } else {
-                o[l] = 0;
+    std::atomic<int64_t> bad(-1);
+    par_chunks(n, [&](int64_t lo, int64_t hi) {
+        uint8_t buf[32];
+        for (int64_t k = lo; k < hi; k++) {
+            // canonical: buf < modulus (big-endian lexicographic)
+            if (decode_one(data + offsets[k], offsets[k + 1] - offsets[k],
+                           buf, 32) != 0 ||
+                memcmp(buf, modulus_be, 32) >= 0) {
+                int64_t cur = bad.load();
+                while ((cur == -1 || k < cur) &&
+                       !bad.compare_exchange_weak(cur, k)) {}
+                return;
+            }
+            uint32_t* o = out + k * n_limbs;
+            for (int64_t l = 0; l < n_limbs; l++) {
+                if (2 * l + 1 < 32) {
+                    o[l] = ((uint32_t)buf[32 - 2 - 2 * l] << 8) |
+                           buf[32 - 1 - 2 * l];
+                } else {
+                    o[l] = 0;
+                }
             }
         }
-    }
-    return -1;
+    });
+    return bad.load();
 }
 
 }  // extern "C"
