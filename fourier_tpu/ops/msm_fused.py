@@ -140,15 +140,22 @@ def _row_meta(rows: int, flags_row):
 
 
 def _select_quad(pw, flags):
-    """Select each lane's sub-row from a [4*FP_LIMBS, ...] quad block.
+    """Select each lane's sub-row from a [..., 4*FP_LIMBS] quad block
+    (lanes on the leading axis, as gathered — no transpose upstream).
 
-    flags bits 2..3 give the quad member; returns [FP_LIMBS, ...]."""
+    flags bits 2..3 give the quad member; returns [FP_LIMBS, ...] in the
+    kernel's limbs-major layout (one small [.., FP_LIMBS] -> [FP_LIMBS,
+    ..] transpose AFTER selection, a quarter of the data)."""
     L = FP_LIMBS
-    b0 = ((flags >> 2) & 1).astype(bool)
-    b1 = ((flags >> 3) & 1).astype(bool)
-    a = jnp.where(b0[None], pw[L:2 * L], pw[:L])
-    b = jnp.where(b0[None], pw[3 * L:4 * L], pw[2 * L:3 * L])
-    return jnp.where(b1[None], b, a)
+    # reshape the 32-bit word BEFORE comparing: Mosaic cannot insert a
+    # minor dim on an i1 vector
+    sub = (flags >> 2)[..., None]
+    b0 = (sub & 1) > 0
+    b1 = (sub & 2) > 0
+    a = jnp.where(b0, pw[..., L:2 * L], pw[..., :L])
+    b = jnp.where(b0, pw[..., 3 * L:4 * L], pw[..., 2 * L:3 * L])
+    sel = jnp.where(b1, b, a)
+    return jnp.swapaxes(sel, -1, -2)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +224,10 @@ def _run_accum_kernel(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
     def acc_map(g, vk_ref, ti_ref):
         return (0, ti_ref[g])
 
-    word_in = pl.BlockSpec((_QUAD * FP_LIMBS, BTILE), slab_map,
+    def slab_row_map(g, vk_ref, ti_ref):
+        return (g, 0)
+
+    word_in = pl.BlockSpec((BTILE, _QUAD * FP_LIMBS), slab_row_map,
                            memory_space=pltpu.VMEM)
     inf_in = pl.BlockSpec((1, BTILE), slab_map, memory_space=pltpu.VMEM)
     acc_in = pl.BlockSpec((FP_LIMBS, BTILE), acc_map,
@@ -276,7 +286,7 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
             jnp.where(is_init, fresh.z, cur.z),
         )
         s = g * BTILE
-        pw = jax.lax.dynamic_slice_in_dim(slab_pw, s, BTILE, axis=1)
+        pw = jax.lax.dynamic_slice_in_dim(slab_pw, s, BTILE, axis=0)
         flags = jax.lax.dynamic_slice_in_dim(slab_inf[0], s, BTILE)
         qx, qy = _unpack_words(_select_quad(pw, flags))
         if signed:
@@ -827,7 +837,11 @@ def _slab_rounds(packed_q, meta_sorted, counts_flat, starts_flat,
         meta = cols[0]
         qsrc = jnp.where(valid_f, (meta >> 4).astype(jnp.int32), 0)
 
-        slab_pw = jnp.take(packed_q, qsrc, axis=0).T  # [4L, G*BTILE]
+        # Slab stays in gather layout [G*BTILE, 4L]: no transposed copy
+        # (at T=2^20 the transpose pass doubled a ~7 GB transient); the
+        # kernel selects the quad member per lane and transposes only
+        # the selected quarter in VMEM.
+        slab_pw = jnp.take(packed_q, qsrc, axis=0)    # [G*BTILE, 4L]
         slab_flags = jnp.where(valid_f, meta & 15, jnp.uint32(1))[None]
 
         acc = G1Jac(acc_x, acc_y, acc_z)

@@ -110,12 +110,20 @@ with tempfile.TemporaryDirectory() as d:
         rio.save_precompute(be.settings.precompute, pp)
         log(f"save_precompute: {time.perf_counter()-t:.1f}s "
             f"({os.path.getsize(pp)//(1<<20)} MiB)")
+    # Drop the live backend before reloading: a serving process holds
+    # ONE backend, and two full scale-20 table sets plus the commit
+    # program's slab transients exceed single-chip HBM.
+    had_pc = be.settings.precompute is not None
+    del be
+    import gc
+
+    gc.collect()
     t = time.perf_counter()
     be2 = PianoBackend.setup(SetupConfig(
         scale=scale, machines_scale=m, setup_path=sp,
-        precompute_path=pp if be.settings.precompute is not None else None,
+        precompute_path=pp if had_pc else None,
         generate_setup=False,
-        generate_precompute=be.settings.precompute is None,
+        generate_precompute=not had_pc,
     ))
     log(f"reload from files: {time.perf_counter()-t:.1f}s")
     t = time.perf_counter()
