@@ -182,9 +182,7 @@ static void fp_from_be(Fp& o, const uint8_t* b) {
     fp_mul(o, raw, FP_R2);  // to Montgomery
 }
 
-static void init_constants() {
-    static bool done = false;
-    if (done) return;
+static void init_constants_impl() {
     // R mod p by 384 doublings of 1
     Fp one;
     memset(&one, 0, sizeof(one));
@@ -199,7 +197,12 @@ static void init_constants() {
     Fp three;
     fp_add(three, FP_ONE, FP_ONE);
     fp_add(FP_THREE, three, FP_ONE);
-    done = true;
+}
+
+static void init_constants() {
+    // C++11 magic static: exactly-once, concurrent callers wait
+    static const bool done = [] { init_constants_impl(); return true; }();
+    (void)done;
 }
 
 // ---------------------------------------------------------------------------
@@ -435,10 +438,8 @@ static Fp12 embed_fp2(const Fp2& a) {
 
 // w^-2 and w^-3 in Fp12 (computed once)
 static Fp12 W2_INV, W3_INV;
-static bool TW_INIT = false;
 
-static void init_twist_constants() {
-    if (TW_INIT) return;
+static void init_twist_constants_impl() {
     Fp12 w;
     memset(&w, 0, sizeof(w));
     w.c1.c0.c0 = FP_ONE;  // w
@@ -447,7 +448,11 @@ static void init_twist_constants() {
     fp12_mul(w3, w2, w);
     fp12_inv(W2_INV, w2);
     fp12_inv(W3_INV, w3);
-    TW_INIT = true;
+}
+
+static void init_twist_constants() {
+    static const bool done = [] { init_twist_constants_impl(); return true; }();
+    (void)done;
 }
 
 // lam for doubling (3x^2 / 2y) or chord ((y2-y1)/(x2-x1)); o = line value at
@@ -608,10 +613,8 @@ static void fp2_pow_be(Fp2& o, const Fp2& a, const uint8_t* e, int64_t len) {
 // Frobenius gamma constants: G1C[i] = xi^(i(p-1)/6) (Fp2),
 // G2C[i] = G1C[i]^(p+1) = Norm(G1C[i]) (in Fp, stored as Fp2).
 static Fp2 G1C[6], G2C[6];
-static bool FROB_INIT = false;
 
-static void init_frobenius() {
-    if (FROB_INIT) return;
+static void init_frobenius_impl() {
     init_constants();
     // (p - 1) / 6 as big-endian bytes (p is odd, p ≡ 1 mod 6)
     uint64_t t[6];
@@ -640,7 +643,11 @@ static void init_frobenius() {
         fp2_conj(c, G1C[i]);
         fp2_mul(G2C[i], G1C[i], c);
     }
-    FROB_INIT = true;
+}
+
+static void init_frobenius() {
+    static const bool done = [] { init_frobenius_impl(); return true; }();
+    (void)done;
 }
 
 // w-basis view: element = sum_i g_i w^i with g0=c0.c0, g1=c1.c0,

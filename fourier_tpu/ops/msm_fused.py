@@ -310,10 +310,22 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
 # Slab construction + round loop
 # ---------------------------------------------------------------------------
 
+# One round's gathered quad slab is G*BTILE*4L*4 bytes.  Past this cap
+# the load spills into further while_loop rounds of the SAME buffers
+# (the allocator is built for it — simulate_rounds), costing only the
+# extra mandatory one-row-per-tile visits (~0.8%/round): peak HBM stays
+# flat for any T.  Without the cap a T=2^20 single-worker commit slab
+# is 6.4 GB and the compiled program exceeds single-chip HBM.
+SLAB_MAX_BYTES = 4 << 30
+
+
 def _grid_size(total_adds: int, n_tiles: int) -> int:
     """Static grid: one mandatory block per tile (accumulator carry) plus
-    SLACK x the mean load in extra rows."""
-    return n_tiles + int(np.ceil(SLACK * total_adds / BTILE))
+    SLACK x the mean load in extra rows, capped by SLAB_MAX_BYTES."""
+    g = n_tiles + int(np.ceil(SLACK * total_adds / BTILE))
+    g_cap = max(n_tiles + 8,
+                SLAB_MAX_BYTES // (BTILE * _QUAD * FP_LIMBS * 4))
+    return min(g, g_cap)
 
 
 @partial(jax.jit, static_argnums=(2,))
