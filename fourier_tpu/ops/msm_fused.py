@@ -316,15 +316,20 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
 # extra mandatory one-row-per-tile visits (~0.8%/round): peak HBM stays
 # flat for any T.  Without the cap a T=2^20 single-worker commit slab
 # is 6.4 GB and the compiled program exceeds single-chip HBM.
-SLAB_MAX_BYTES = 4 << 30
+SLAB_MAX_BYTES = 5 << 30
 
 
-def _grid_size(total_adds: int, n_tiles: int) -> int:
+def _grid_size(total_adds: int, n_tiles: int, table_rows: int = 0) -> int:
     """Static grid: one mandatory block per tile (accumulator carry) plus
-    SLACK x the mean load in extra rows, capped by SLAB_MAX_BYTES."""
+    SLACK x the mean load in extra rows, capped by the slab budget.
+
+    The budget is TABLE-AWARE (SLAB_MAX_BYTES minus the packed table's
+    footprint): the resident table, the slab, and its pipeline copy all
+    share single-chip HBM with the live backend state, and a T=2^20
+    single-worker commit program exceeded the chip without the cap."""
     g = n_tiles + int(np.ceil(SLACK * total_adds / BTILE))
-    g_cap = max(n_tiles + 8,
-                SLAB_MAX_BYTES // (BTILE * _QUAD * FP_LIMBS * 4))
+    budget = SLAB_MAX_BYTES - table_rows * FP_LIMBS * 4
+    g_cap = max(n_tiles + 8, budget // (BTILE * _QUAD * FP_LIMBS * 4))
     return min(g, g_cap)
 
 
@@ -509,7 +514,7 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     spare = max(BTILE // 8, -(-n // cap))
     Bp = B + spare
     n_tiles = -(-(n_windows * Bp) // BTILE)
-    G = _grid_size(n * n_windows, n_tiles)
+    G = _grid_size(n * n_windows, n_tiles, table_rows=n)
 
     digits = msm_mod._all_window_digits(scalars, c, n_windows)  # [W, n]
     # Points at infinity contribute nothing: fold them into the excluded
@@ -687,7 +692,7 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
     spare = max(BTILE // 8, -(-WN // cap))
     Bp = B + spare
     n_tiles = -(-Bp // BTILE)
-    G = _grid_size(WN, n_tiles)
+    G = _grid_size(WN, n_tiles, table_rows=WN)
 
     digits_flat = jnp.where(table_inf, 0, digits_flat)          # [W*n]
 

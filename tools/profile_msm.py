@@ -69,7 +69,7 @@ def main():
     spare = max(mf.BTILE // 8, -(-WN // cap))
     Bp = B + spare
     n_tiles = -(-Bp // mf.BTILE)
-    G = mf._grid_size(WN, n_tiles)
+    G = mf._grid_size(WN, n_tiles, table_rows=WN)
     BT = n_tiles * mf.BTILE
     log(f"c={c} W={W} WN={WN} B={B} Bp={Bp} n_tiles={n_tiles} G={G}")
 
