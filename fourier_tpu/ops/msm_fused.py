@@ -316,7 +316,7 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
 # extra mandatory one-row-per-tile visits (~0.8%/round): peak HBM stays
 # flat for any T.  Without the cap a T=2^20 single-worker commit slab
 # is 6.4 GB and the compiled program exceeds single-chip HBM.
-SLAB_MAX_BYTES = 5 << 30
+SLAB_MAX_BYTES = (43 << 30) // 10  # 4.3 GiB
 
 
 def _grid_size(total_adds: int, n_tiles: int, table_rows: int = 0) -> int:
