@@ -171,7 +171,9 @@ def main():
     # an HLO constant and the tunnel's remote_compile rejects the
     # multi-hundred-MB program (HTTP 413).
     packed_q = jnp.asarray(np.asarray(packed).reshape(-1, 4 * 24))
-    src_only = jax.jit(lambda p, s: jnp.take(p, s, axis=0).T)
+    # gather layout [GB, 4L] — the kernel transposes the selected
+    # quarter in VMEM (no whole-slab transpose since round 4)
+    src_only = jax.jit(lambda p, s: jnp.take(p, s, axis=0))
     results["gather-only"], slab_pw = timeit(
         "gather-only (quad)", src_only, packed_q, jnp.asarray(qsrc_np))
 
