@@ -40,7 +40,13 @@ from ..ops import curve as cv
 from ..ops import msm as msm_mod
 from ..ops.curve import G1Aff, G1Jac
 from ..ops.field import FR
-from ..ops.limbs import ints_to_vec, vec_to_int, vec_to_ints
+from ..ops.limbs import (
+    bytes_be_to_limbs,
+    int_to_vec,
+    ints_to_vec,
+    vec_to_int,
+    vec_to_ints,
+)
 from ..ops.ntt import get_domain
 from ..refimpl import curve as rc
 from ..refimpl import pairing as rp
@@ -443,6 +449,26 @@ def _eval_form_open(roots_mont, f_mont, alpha_mont, t_inv_mont):
     return y, qhat, any_zero
 
 
+@jax.jit
+def _poly_eval_device(f_mont, x_mont):
+    """sum_i f_i x^i for [L, n] Montgomery coefficients, n a power of two.
+
+    Powers of x by log-doubling (powers[0:m] * x^m extends the ladder to
+    2m), one elementwise mul, then a binary-tree sum: ~3n mul/add lanes
+    across O(log n) sequential batched steps."""
+    n = f_mont.shape[-1]
+    p = FR.broadcast_const(FR.one_mont, (1,))
+    xk = x_mont
+    while p.shape[-1] < n:
+        p = jnp.concatenate([p, FR.mul(p, xk)], axis=-1)
+        xk = FR.square(xk)
+    terms = FR.mul(f_mont, p)
+    while terms.shape[-1] > 1:
+        h = terms.shape[-1] // 2
+        terms = FR.add(terms[..., :h], terms[..., h:])
+    return terms
+
+
 # ---------------------------------------------------------------------------
 # Backend
 # ---------------------------------------------------------------------------
@@ -465,11 +491,51 @@ class PianoBackend:
             for _ in range(self.fft.M)
         ]
 
+    def random_bivariate_limbs(self) -> np.ndarray:
+        """[M, FR_LIMBS, T] canonical limb rows of a random bivariate poly.
+
+        Vectorized twin of random_bivariate_polynomial for the randomPoly
+        RPC (reference src/rpc.rs:320-327): one urandom draw + one device
+        mod-R reduction instead of M*T per-value Python reductions (2^20
+        of them at the reference's default scale).  Same distribution:
+        uniform 256-bit value mod R."""
+        m, t = self.fft.M, self.fft.T
+        raw = os.urandom(32 * m * t)
+        limbs = bytes_be_to_limbs(raw, 32, FR_LIMBS)        # [m*t, L]
+        # value mod R via a Montgomery round-trip: to_mont accepts any
+        # 256-bit limb value (the product pass is exact and the reduction
+        # lands < 2R), from_mont returns the canonical residue.
+        red = np.asarray(FR.from_mont(FR.to_mont(jnp.asarray(limbs.T))))
+        return red.reshape(FR_LIMBS, m, t).transpose(1, 0, 2)
+
     def random_point(self) -> int:
         return int.from_bytes(os.urandom(32), "big") % R
 
     def evaluate(self, coeffs: list[int], x: int) -> int:
         return rpoly.poly_eval(coeffs, x)
+
+    def evaluate_limbs(self, limbs: np.ndarray, x: int) -> int:
+        """f(x) over canonical [FR_LIMBS, n] coefficient limbs.
+
+        Device path for the evaluate RPC (reference FsPoly::eval behind
+        src/rpc.rs:338-347): an x-power ladder by log-doubling plus one
+        elementwise mul and a binary-tree sum — O(log n) sequential
+        batched device steps instead of an n-step host bigint Horner
+        (seconds per call at T=2^19).  Small inputs stay on the host
+        where dispatch would dominate."""
+        limbs = np.asarray(limbs)
+        n = limbs.shape[-1]
+        if n == 0:
+            return 0
+        if n <= 2048:
+            return rpoly.poly_eval(vec_to_ints(limbs), x)
+        pow2 = 1 << (n - 1).bit_length()
+        if n < pow2:  # zero coefficients contribute nothing
+            pad = np.zeros((limbs.shape[0], pow2 - n), np.uint32)
+            limbs = np.concatenate([limbs, pad], axis=-1)
+        xm = FR.to_mont(jnp.asarray(int_to_vec(x, FR_LIMBS)))
+        y_m = _poly_eval_device(FR.to_mont(jnp.asarray(limbs)), xm)
+        return vec_to_int(FR.from_mont(y_m))
 
     # -- coefficients in/out -----------------------------------------------
 

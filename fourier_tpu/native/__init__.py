@@ -30,9 +30,13 @@ _HERE = os.path.dirname(__file__)
 
 _libs: dict[str, object] = {}
 
+# Compile command; part of the .so cache key (a flags-only change must
+# rebuild — a binary built with stale flags can otherwise serve forever).
+_CXX_FLAGS = ["g++", "-O3", "-shared", "-fPIC", "-pthread"]
+
 
 def _load(stem: str):
-    """Load (building if needed) lib<stem>-<srchash>.so, or None.
+    """Load (building if needed) lib<stem>-<hash(src+flags)>.so, or None.
 
     FOURIER_NATIVE=0 disables the native kernels entirely (pure-Python
     fallbacks serve) — a debugging/bisection escape hatch."""
@@ -42,13 +46,14 @@ def _load(stem: str):
         return _libs[stem] or None
     src = os.path.join(_HERE, f"{stem}.cpp")
     with open(src, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+        digest = hashlib.sha256(
+            fh.read() + b"\0" + " ".join(_CXX_FLAGS).encode()
+        ).hexdigest()[:16]
     lib_path = os.path.join(_HERE, f"lib{stem}-{digest}.so")
     if not os.path.exists(lib_path):
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                 "-o", lib_path, src],
+                _CXX_FLAGS + ["-o", lib_path, src],
                 check=True,
                 capture_output=True,
             )

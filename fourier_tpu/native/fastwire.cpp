@@ -11,6 +11,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -76,15 +77,31 @@ void encode_one(const uint8_t* in, int64_t in_len, char* out, int64_t* out_len) 
     *out_len = oi;
 }
 
+// Thread cap for par_chunks: FOURIER_WIRE_THREADS overrides (containers
+// can report 0 or the whole host via hardware_concurrency, and N
+// concurrent large-body RPC handlers each spawn their own batch — the
+// cap bounds total oversubscription at N * cap).
+static int64_t wire_thread_cap() {
+    static int64_t cap = [] {
+        const char* s = getenv("FOURIER_WIRE_THREADS");
+        if (s && *s) {
+            long v = atol(s);
+            if (v >= 1 && v <= 256) return (int64_t)v;
+        }
+        unsigned hw = std::thread::hardware_concurrency();
+        int64_t nt = (int64_t)(hw ? hw : 1);
+        return nt > 8 ? (int64_t)8 : nt;
+    }();
+    return cap;
+}
+
 // Data-parallel batch driver: ctypes releases the GIL for the whole
 // call, so the wire kernels below fan their item loops over threads
 // (the RPC body for a scale-20 worker is ~24 MB of base64 — the decode
 // was the largest single serving-path cost after the MSM itself).
 template <class F>
 static void par_chunks(int64_t n, F f) {
-    unsigned hw = std::thread::hardware_concurrency();
-    int64_t nt = (int64_t)(hw ? hw : 1);
-    if (nt > 8) nt = 8;
+    int64_t nt = wire_thread_cap();
     if (n < 8192 || nt <= 1) {
         f((int64_t)0, n);
         return;

@@ -87,6 +87,29 @@ class Field:
             self.mod4_limbs = np.zeros(n_limbs, np.uint32)
         self._t2n = int((2 * modulus) >> (LIMB_BITS * (n_limbs - 1)))
         self._t4n = int((4 * modulus) >> (LIMB_BITS * (n_limbs - 1)))
+        # Static closure check for the PADDED lazy domain (see the
+        # add_lazy/sub_lazy block): _fused_reduce's top-column test can
+        # leave reduced values up to PAD_UNITS top-limb units above 2N
+        # (<= 2 carry units from the low columns + 1 from the 2N fold,
+        # with one unit of threshold ambiguity).  The domain is closed
+        # only if the mul headroom absorbs that bound: for a, b <
+        # B = 2N + pad, mul_lazy yields (ab + mN)/2^(16L) < B^2/2^(16L)
+        # + N, which contracts back below 2N iff B^2 <= N * 2^(16L).
+        # A future limb-layout change that breaks this must fail loudly
+        # here, not silently corrupt kernel arithmetic.
+        if 4 * modulus < (1 << radix_bits):  # fields with a lazy domain
+            _PAD_UNITS = 4
+            pad = _PAD_UNITS << (LIMB_BITS * (n_limbs - 1))
+            bound = 2 * modulus + pad
+            assert bound * bound <= modulus << radix_bits, (
+                "padded lazy domain is not closed under mul_lazy: "
+                "2N + pad exceeds the Montgomery contraction bound"
+            )
+            # and the top-column thresholds must be distinguishable:
+            # one top-limb unit of pre-carry ambiguity each side
+            assert self._t4n - self._t2n > 2 * _PAD_UNITS, (
+                "t2n/t4n thresholds too close for the pad bound"
+            )
         # Limb-embedding lowering: jnp.pad compiles fast under CPU/TPU XLA
         # but Mosaic rejects pad; Pallas kernel views flip this to
         # concatenate (see with_consts).

@@ -316,6 +316,18 @@ def _run_accum_fallback(vk, tile_id, slab_pw, slab_inf, acc: G1Jac,
 # extra mandatory one-row-per-tile visits (~0.8%/round): peak HBM stays
 # flat for any T.  Without the cap a T=2^20 single-worker commit slab
 # is 6.4 GB and the compiled program exceeds single-chip HBM.
+#
+# Headroom derivation (v5e, 16 GiB HBM; measured at T=2^20, M=1 —
+# docs/ROUND4_NOTES.md): the budget must cover the slab PLUS its
+# pipeline copy (XLA double-buffers the while_loop carry: ~2x the slab
+# while a round hands off), the meta/index transients (~0.2 GiB/round),
+# and the live backend state outside this program (SRS row + packed
+# table, subtracted explicitly via table_rows below).  4.3 GiB * 2 +
+# 0.2 + table (1.6 GiB at 2^19/c=16) + SRS (~0.2) ~= 10.6 GiB, leaving
+# ~5 GiB for the accumulator, XLA workspace, and fragmentation — the
+# measured ceiling before the T=2^20 compile OOMed was ~4.8 GiB/round.
+# If BTILE/_QUAD/FP_LIMBS change, _grid_size's bytes-per-row term
+# tracks them automatically; only a new HBM size needs retuning here.
 SLAB_MAX_BYTES = (43 << 30) // 10  # 4.3 GiB
 
 

@@ -74,6 +74,15 @@ def _enc_g1(pt) -> str:
     return wire.b64_encode(rc.g1_to_bytes(pt))
 
 
+def _parse_usize(v) -> int:
+    """serde-strict usize: JSON unsigned integers only.  The reference's
+    `i: usize` field rejects bools, floats, and numeric strings ("3",
+    3.0, true are deserialization errors — src/rpc.rs:36-58)."""
+    if type(v) is not int or v < 0:
+        raise ValueError("invalid type for machine index: expected unsigned integer")
+    return v
+
+
 _R_BE = None
 
 
@@ -148,16 +157,19 @@ class RpcHandler:
         return None
 
     def _handle_randomPoly(self, params):
-        poly = self.backend.random_bivariate_polynomial()
-        return {"poly": [[_enc_fr(v) for v in row] for row in poly]}
+        # vectorized end to end: limb draw + device mod-R + native batch
+        # base64 (the per-value _enc_fr loop was 2^20 Python iterations
+        # at the reference's default scale)
+        rows = self.backend.random_bivariate_limbs()
+        return {"poly": [_enc_fr_batch(row) for row in rows]}
 
     def _handle_randomPoint(self, params):
         return {"point": _enc_fr(self.backend.random_point())}
 
     def _handle_evaluate(self, params):
-        coeffs = [_parse_fr(s) for s in params["poly"]]
+        limbs = _parse_poly_limbs(params["poly"])
         x = _parse_fr(params["x"])
-        return {"y": _enc_fr(self.backend.evaluate(coeffs, x))}
+        return {"y": _enc_fr(self.backend.evaluate_limbs(limbs, x))}
 
     def _handle_fft(self, params):
         # serde-strict parameter types (the reference's bool fields reject
@@ -174,19 +186,21 @@ class RpcHandler:
     def _handle_workerCommit(self, params):
         limbs = _parse_poly_limbs(params["poly"])
         self._check_len(limbs)
-        commitment = self.backend.worker_commit(int(params["i"]), self._pad(limbs))
+        commitment = self.backend.worker_commit(
+            _parse_usize(params["i"]), self._pad(limbs))
         return {"commitment": _enc_g1(commitment)}
 
     def _handle_workerOpen(self, params):
         limbs = _parse_poly_limbs(params["poly"])
         self._check_len(limbs)
         x = _parse_fr(params["x"])
-        y, proof = self.backend.worker_open(int(params["i"]), self._pad(limbs), x)
+        y, proof = self.backend.worker_open(
+            _parse_usize(params["i"]), self._pad(limbs), x)
         return {"proof": _enc_g1(proof), "eval": _enc_fr(y)}
 
     def _handle_workerVerify(self, params):
         valid = self.backend.worker_verify(
-            int(params["i"]),
+            _parse_usize(params["i"]),
             _parse_g1(params["commitment"]),
             _parse_fr(params["alpha"]),
             _parse_fr(params["eval"]),

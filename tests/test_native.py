@@ -115,6 +115,23 @@ def test_pairing_fast_vs_reference_path(plib, rng):
         assert fast == ref
 
 
+def test_pairing_degenerate_inputs(plib):
+    """Pins the identity-operand contract of the fast kernel:
+
+    - a G2 identity (all-zero encoding) degenerates the twist Miller
+      loop mid-chain: fw_pairing returns -1 and pairing_value None, so
+      callers fall back to the exact refimpl path;
+    - a G1 identity yields the Fp12 identity (= e(O, Q), correct);
+    - fw_pairings_check handles BOTH explicitly (identity pairs
+      contribute 1 to the product — the documented `continue`)."""
+    from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN
+
+    assert native.pairing_value(G1_GEN, None) is None
+    assert native.pairing_value(None, G2_GEN) == [1] + [0] * 11
+    assert native.pairings_check([(G1_GEN, None)]) is True
+    assert native.pairings_check([(None, G2_GEN)]) is True
+
+
 def test_pairing_bilinearity_native(plib, rng):
     from fourier_tpu.refimpl.curve import G1_GEN, G2_GEN, g1_mul, g2_mul
 

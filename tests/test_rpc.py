@@ -191,6 +191,39 @@ def test_fft_param_types_rejected(servers):
         assert "message" in data, (left, inverse)
 
 
+def test_usize_param_types_rejected(servers):
+    """The machine index must be a JSON unsigned integer: serde's usize
+    rejects numeric strings, floats, bools, and negatives (reference
+    src/rpc.rs:36-58) — coercible-but-wrongly-typed values included."""
+    from fourier_tpu.refimpl.field import fr_to_bytes
+
+    ok_fr = wire.b64_encode(fr_to_bytes(5))
+    for bad_i in ("3", 3.0, True, -1, None, [0]):
+        data = _post(servers[0], "workerCommit",
+                     {"i": bad_i, "poly": [ok_fr]})
+        assert "message" in data, bad_i
+    # and i=0 (a genuine integer) still works
+    data = _post(servers[0], "workerCommit", {"i": 0, "poly": [ok_fr]})
+    assert "commitment" in data
+
+
+def test_evaluate_large_poly(servers, backend):
+    """The device power-ladder path (n > 2048) matches host Horner."""
+    import numpy as np
+
+    from fourier_tpu.refimpl.field import fr_from_bytes, fr_to_bytes
+    from fourier_tpu.refimpl.poly import poly_eval
+
+    rng = np.random.default_rng(7)
+    n = 2048 + 37  # odd length exercises the zero-pad
+    coeffs = [int(v) for v in rng.integers(0, 1 << 62, size=n)]
+    x = 123456789
+    enc = [wire.b64_encode(fr_to_bytes(c)) for c in coeffs]
+    data = _post(servers[0], "evaluate",
+                 {"poly": enc, "x": wire.b64_encode(fr_to_bytes(x))})
+    assert fr_from_bytes(wire.b64_decode(data["y"])) == poly_eval(coeffs, x)
+
+
 def test_oversized_body_rejected(servers, monkeypatch):
     """A hostile Content-Length beyond the bound gets the error envelope
     without the server buffering the body."""
