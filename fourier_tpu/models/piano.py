@@ -251,6 +251,51 @@ class PianoPrecompute:
 
 _SHARD_MESH = None
 
+# Process-level cache of AOT-loaded/compiled executables for the serving
+# path (keyed by program name + dynamic arg shapes).  On TPU the first
+# result of a cold jitted MSM costs trace + Mosaic lowering + XLA compile
+# + upload (~3 min at scale 20 — tools/SCALE20_RUN.log round 4); routing
+# the hot programs through runtime.aot's serialized executables makes a
+# warm server boot reach its first workerCommit in seconds.  The analog
+# of the reference paying its compile once in `cargo build --release`
+# (reference .github/workflows/ci.yml:54-58).
+_EXE_CACHE: dict = {}
+
+
+def _aot_enabled() -> bool:
+    from ..ops import pallas_curve as pcv
+
+    return pcv.enabled() and os.environ.get("FOURIER_AOT", "1") != "0"
+
+
+def _exe_key(name: str, dyn_args, key: str):
+    leaves = jax.tree_util.tree_leaves(dyn_args)
+    return (name, tuple((tuple(a.shape), str(a.dtype)) for a in leaves), key)
+
+
+def _aot_get(name: str, fn, dyn_args, static_args=(), key: str = ""):
+    """Loaded-or-built executable for fn at dyn_args' shapes, memoized in
+    process; None when AOT is disabled or serialization unsupported."""
+    if not _aot_enabled():
+        return None
+    k = _exe_key(name, dyn_args, key)
+    if k not in _EXE_CACHE:
+        from ..runtime import aot
+
+        _EXE_CACHE[k] = aot.get_or_build(
+            name, fn, dyn_args, extra_key=key,
+            lower_args=(*dyn_args, *static_args))
+    return _EXE_CACHE[k]
+
+
+def _aot_dispatch(name: str, fn, dyn_args, static_args=(), key: str = ""):
+    """Call fn through the AOT executable cache (TPU serving path); fall
+    back to the plain jitted call when AOT is unavailable."""
+    exe = _aot_get(name, fn, dyn_args, static_args, key)
+    if exe is None:
+        return fn(*dyn_args, *static_args)
+    return exe(*dyn_args)
+
 
 def _sharding_mesh():
     """1-D mesh over the local devices for intra-worker MSM sharding, or
@@ -292,7 +337,11 @@ def _msm_dispatch(points: G1Aff, scalars, table: G1Aff | None, c: int,
                 from ..parallel.msm_fused_sharded import msm_fused_bgmw_sharded
 
                 return msm_fused_bgmw_sharded(pk, table.inf, scalars, c, mesh)
-            return mf.msm_fused_bgmw(pk, table.inf, scalars, c)
+            # artifact name matches bench.py's so bench and serving share
+            # warm executables for the same shapes
+            return _aot_dispatch(f"msm_bgmw_s{(n - 1).bit_length()}",
+                                 mf.msm_fused_bgmw,
+                                 (pk, table.inf, scalars), (c,), key=f"c{c}")
         return msm_mod.msm_bgmw(table, scalars, c)
     if n <= 64:
         return msm_mod.msm_naive(points, scalars)
@@ -302,6 +351,9 @@ def _msm_dispatch(points: G1Aff, scalars, table: G1Aff | None, c: int,
 
         return msm_fused_sharded(points, scalars,
                                  _auto_window(n // mesh.shape["chips"]), mesh)
+    if pcv.enabled():
+        return _aot_dispatch(f"msm_s{(n - 1).bit_length()}", msm_mod.msm,
+                             (points, scalars), (0,), key="c0")
     return msm_mod.msm(points, scalars)
 
 
@@ -572,8 +624,9 @@ class PianoBackend:
         t_inv = jnp.asarray(
             ints_to_vec([pow(self.fft.T, -1, R) * FR.mont_r % R], FR_LIMBS)
         )
-        y_m, qhat_m, any_zero = _eval_form_open(
-            self.fft.left_roots_mont(), f_mont, alpha_mont, t_inv
+        y_m, qhat_m, any_zero = _aot_dispatch(
+            f"eval_open_s{self.fft.t}", _eval_form_open,
+            (self.fft.left_roots_mont(), f_mont, alpha_mont, t_inv),
         )
         if bool(any_zero):  # alpha hits the domain: coefficient-basis fallback
             return self._worker_open_coeff_fallback(i, sc, alpha)
@@ -655,6 +708,67 @@ class PianoBackend:
         if table is None:
             return None
         return self.settings.precompute.packed_for(("u", i), table)
+
+    # -- serving warm-up ---------------------------------------------------
+
+    def warm_executables(self) -> None:
+        """Pre-build/load every serving-path device executable for this
+        backend's (scale, mscale) so the FIRST production RPC is served
+        warm: the commit/open MSM (AOT via runtime.aot — trace + Mosaic +
+        XLA otherwise costs minutes at scale 20), the evaluation-form
+        open, and the fft domains (jit + persistent XLA cache).  Also
+        packs the BGMW tables so H2D and the interleave are off the
+        first request.  No-op on non-TPU backends."""
+        if not _aot_enabled():
+            return
+        import time as _time
+
+        t0 = _time.perf_counter()
+        t = self.fft.T
+        logger.info("warming serving executables (T=%d, M=%d) ...",
+                    t, self.fft.M)
+        sc_aval = jax.ShapeDtypeStruct((FR_LIMBS, t), jnp.uint32)
+        warmed = set()
+        for i in range(self.fft.M):
+            table = self._u_table(i)
+            if table is not None:
+                pk = self._u_packed(i, table)
+                shape_key = (pk.shape, "bgmw")
+                if shape_key in warmed:
+                    continue
+                warmed.add(shape_key)
+                c = self._table_c()
+                inf_aval = jax.ShapeDtypeStruct(table.inf.shape, jnp.bool_)
+                from ..ops import msm_fused as mf
+
+                _aot_get(f"msm_bgmw_s{(t - 1).bit_length()}",
+                         mf.msm_fused_bgmw,
+                         (pk, inf_aval, sc_aval), (c,), key=f"c{c}")
+            else:
+                shape_key = (t, "tableless")
+                if shape_key in warmed:
+                    continue
+                warmed.add(shape_key)
+                row = self.settings.u_row(i)
+                aval = G1Aff(
+                    jax.ShapeDtypeStruct(row.x.shape, jnp.uint32),
+                    jax.ShapeDtypeStruct(row.y.shape, jnp.uint32),
+                    jax.ShapeDtypeStruct(row.inf.shape, jnp.bool_),
+                )
+                _aot_get(f"msm_s{(t - 1).bit_length()}", msm_mod.msm,
+                         (aval, sc_aval), (0,), key="c0")
+        # eval-form open + the fft wire path: compile-cheap relative to
+        # the MSM; triggering jit here stores them in the persistent XLA
+        # cache and the in-process jit cache.
+        fm = jax.ShapeDtypeStruct((FR_LIMBS, t), jnp.uint32)
+        one = jax.ShapeDtypeStruct((FR_LIMBS, 1), jnp.uint32)
+        _aot_get(f"eval_open_s{self.fft.t}", _eval_form_open,
+                 (self.fft.left_roots_mont(), fm, one, one))
+        zeros = np.zeros((FR_LIMBS, t), np.uint32)
+        for inv in (False, True):
+            self.fft.fft_limbs(zeros, True, inv)
+        logger.info("serving executables warm in %.1fs",
+                    _time.perf_counter() - t0)
 
     # -- construction ------------------------------------------------------
 

@@ -397,6 +397,37 @@ def scan_sum(p: G1Jac, width: int) -> G1Jac:
     return acc
 
 
+def tree_reduce_last(p: G1Jac, to: int = 1) -> G1Jac:
+    """Halving-tree reduction of the last axis down to `to` lanes with the
+    fused add: log2(n/to) launches, every round at maximum batch width.
+
+    scan_sum (above) optimizes for ONE kernel shape at the cost of a long
+    sequential chain of narrow steps; on the MSM combine path those
+    chains measured ~8x slower than their point-add count (rows+cols of
+    the factorized bucket reduction: 49 ms for ~6 ms of adds —
+    tools/PROFILE_MSM.log `combine_budget_c16`).  This variant pays a
+    handful of distinct (compile-cached) kernel shapes instead and is
+    the combine-path default since round 5.
+    """
+    n = p.x.shape[-1]
+    if n <= to:
+        return p
+    # pad with identity lanes up to to * 2^k so every halving is exact
+    k = (-(-n // to) - 1).bit_length()
+    target = to << k
+    if target != n:
+        p = _pad_last(p, target - n)
+        n = target
+    while n > to:
+        half = n // 2
+        p = add_fast(
+            G1Jac(p.x[..., :half], p.y[..., :half], p.z[..., :half]),
+            G1Jac(p.x[..., half:], p.y[..., half:], p.z[..., half:]),
+        )
+        n = half
+    return p
+
+
 def tree_sum_fast(p: G1Jac, stop: int = 1) -> G1Jac:
     """Reduce the last axis of a [..., n] point batch to [..., stop].
 

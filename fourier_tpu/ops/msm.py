@@ -115,7 +115,7 @@ def _bit_partial_sums(buckets: G1Jac, c: int) -> G1Jac:
     bx = jnp.broadcast_to(buckets.x[:, None, :], (FP_LIMBS, c_eff, n_buckets))
     by = jnp.broadcast_to(buckets.y[:, None, :], (FP_LIMBS, c_eff, n_buckets))
     bz = jnp.where(masks[None], buckets.z[:, None, :], 0)  # z=0 -> identity
-    return cv.tree_sum_fast(G1Jac(bx, by, bz), stop=32)    # [L, c, R]
+    return cv.tree_reduce_last(G1Jac(bx, by, bz), to=32)   # [L, c, R]
 
 
 def _horner_2k(terms: G1Jac) -> G1Jac:

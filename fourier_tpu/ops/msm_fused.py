@@ -412,7 +412,7 @@ def _reduce_axis(p: G1Jac, axis: int) -> G1Jac:
     def mv(a):
         return jnp.moveaxis(a, axis, -1)
 
-    out = cv.tree_sum_fast(G1Jac(mv(p.x), mv(p.y), mv(p.z)), stop=1)
+    out = cv.tree_reduce_last(G1Jac(mv(p.x), mv(p.y), mv(p.z)), to=1)
     return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
 
 
@@ -490,13 +490,13 @@ def _weighted_partial_sums(buckets: G1Jac, weights, c: int) -> G1Jac:
                                                   + (c, 1))
     masks = ((weights[..., None, :] >> bits) & 1).astype(bool)
     shape = lead + (c, Bp)
-    return cv.tree_sum_fast(
+    return cv.tree_reduce_last(
         G1Jac(
             jnp.broadcast_to(buckets.x[..., None, :], shape),
             jnp.broadcast_to(buckets.y[..., None, :], shape),
             jnp.where(masks[None], buckets.z[..., None, :], 0),
         ),
-        stop=32,
+        to=32,
     )
 
 
@@ -681,21 +681,33 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
                             neg_flat)
 
 
+def _unpermute_rows(acc: G1Jac, canon) -> G1Jac:
+    """Gather accumulator slots back to canonical order as ONE fat-row
+    gather: xyz stacked to [BT, 3L] 288-byte rows.  XLA's gather is
+    descriptor-bound, not byte-bound (tools/PROBE_GATHER2.log), so one
+    gather of 288B rows beats three lane gathers of 96B columns ~4x."""
+    stacked = jnp.concatenate([acc.x, acc.y, acc.z], axis=0)     # [3L, BT]
+    rows = jnp.take(stacked.T, canon, axis=0).T                  # [3L, Bp]
+    L = FP_LIMBS
+    return G1Jac(rows[:L], rows[L:2 * L], rows[2 * L:])
+
+
 @partial(jax.jit, static_argnums=(3,))
-def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
-                     neg_flat=None) -> G1Jac:
-    """msm_fused_bgmw body over pre-extracted digits.
+def bgmw_buckets_from_digits(packed_table, table_inf, digits_flat, c: int,
+                             neg_flat=None):
+    """The slab-accumulation HALF of bgmw_from_digits: digit sort,
+    heavy-slot split, multi-round slab accumulation, canonical-order
+    unpermute — WITHOUT the weighted bucket reduction.
 
-    digits_flat: int32 [W*n] digits aligned with the table rows —
-    unsigned c-bit digits, or balanced-signed magnitudes when neg_flat
-    (the per-row negate mask) is given, which HALVES the bucket range.
-    Separated out so a mesh-sharded caller (parallel.msm_fused_sharded)
-    can shard the (window, point) axis: any CONTIGUOUS slice of table
-    rows plus its matching digit slice is itself a valid shared-bucket
-    MSM whose result is the partial sum of those rows (window weights
-    are baked into the table entries)."""
-    from . import msm as msm_mod
-
+    Returns (buckets, weights): buckets is the [L, Bp] Jacobian bucket
+    set in canonical slot order (main region [0, Bpow) has weight ==
+    index; from Bpow on: the signed +1 bucket and the split-spare slots
+    with dynamic weights), weights the [Bp] combine weights.  Split out
+    so the mesh-sharded caller (parallel.msm_fused_sharded) can exchange
+    per-chip bucket sets over ICI and pay the reduction ONCE, sharded
+    over the bucket axis — the per-shard full reduction was the
+    fixed cost that capped scaling efficiency at ~50% on 8 chips
+    (tools/SCALING.log, rounds 3-4)."""
     signed = neg_flat is not None
     WN = packed_table.shape[0]
     Bpow = 1 << (c - 1) if signed else 1 << c     # power-of-2 main region
@@ -727,14 +739,35 @@ def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
         _quadify(packed_table), meta_sorted, counts_s, starts_s,
         n_tiles, G, signed=signed,
     )
-    canon = inv_csort[:Bp]
-    buckets = G1Jac(
-        jnp.take(acc.x, canon, axis=-1),
-        jnp.take(acc.y, canon, axis=-1),
-        jnp.take(acc.z, canon, axis=-1),
-    )
+    return _unpermute_rows(acc, inv_csort[:Bp]), weights
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def bgmw_reduce(buckets: G1Jac, weights, c: int, signed: bool) -> G1Jac:
+    """Weighted bucket reduction + Horner over a canonical bucket set
+    (the second half of bgmw_from_digits)."""
+    from . import msm as msm_mod
+
+    Bpow = 1 << (c - 1) if signed else 1 << c
     s = _weighted_sums_factored(buckets, weights, c, Bpow)  # [L, c, R]
     return msm_mod._horner_2k(s)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def bgmw_from_digits(packed_table, table_inf, digits_flat, c: int,
+                     neg_flat=None) -> G1Jac:
+    """msm_fused_bgmw body over pre-extracted digits.
+
+    digits_flat: int32 [W*n] digits aligned with the table rows —
+    unsigned c-bit digits, or balanced-signed magnitudes when neg_flat
+    (the per-row negate mask) is given, which HALVES the bucket range.
+    Any CONTIGUOUS slice of table rows plus its matching digit slice is
+    itself a valid shared-bucket MSM whose result is the partial sum of
+    those rows (window weights are baked into the table entries) — the
+    mesh-sharded caller exploits this via bgmw_buckets_from_digits."""
+    buckets, weights = bgmw_buckets_from_digits(
+        packed_table, table_inf, digits_flat, c, neg_flat)
+    return bgmw_reduce(buckets, weights, c, neg_flat is not None)
 
 
 def simulate_rounds(counts, n_tiles: int, G: int) -> int:

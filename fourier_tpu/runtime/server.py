@@ -311,6 +311,11 @@ class Server:
         from ..utils.timing import timed
 
         backend = timed("start handler", lambda: PianoBackend.setup(self.cfg.backend))
+        # Pre-build/load the serving executables before taking requests:
+        # a warm restart then serves its first workerCommit in seconds
+        # instead of paying trace+Mosaic+XLA at scale (no-op off-TPU;
+        # FOURIER_AOT=0 disables).
+        timed("warm executables", backend.warm_executables)
         return RpcHandler(backend)
 
     def run(self) -> None:

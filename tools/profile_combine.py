@@ -88,6 +88,15 @@ def main():
                                       acc.x, acc.y, acc.z)
     buckets = G1Jac(*bx)
 
+    # a2) fat-row unpermute (round-5 production path): one 288 B-row
+    # gather of the xyz-stacked accumulator (ops.msm_fused._unpermute_rows)
+    def unpermute_rows(ax, ay, az):
+        out = mf._unpermute_rows(G1Jac(ax, ay, az), canon)
+        return out.x, out.y, out.z
+
+    results["unpermute-fatrow"], _ = timeit(
+        "unpermute-fatrow", jax.jit(unpermute_rows), acc.x, acc.y, acc.z)
+
     # b) rows+cols sums of the main region
     h_bits = c // 2
     H = 1 << h_bits

@@ -126,6 +126,11 @@ with tempfile.TemporaryDirectory() as d:
         generate_precompute=not had_pc,
     ))
     log(f"reload from files: {time.perf_counter()-t:.1f}s")
+    # mirror the server boot: pre-build/load serving executables (the
+    # run-command warms before taking requests — runtime/server.py)
+    t = time.perf_counter()
+    be2.warm_executables()
+    log(f"warm_executables: {time.perf_counter()-t:.1f}s")
     t = time.perf_counter()
     com_reload = be2.worker_commit(0, rows[0])
     log(f"re-commit on reloaded setup: {time.perf_counter()-t:.1f}s")
