@@ -133,6 +133,37 @@ def test_msm_fused_bgmw_sharded_interpret(rng, monkeypatch):
     assert got == g1_msm(pts, scalars)
 
 
+def test_msm_fused_bgmw_sharded_signed_interpret(rng, monkeypatch):
+    """Sharded BGMW with balanced SIGNED digits (c=11 -> W=24, dynamic
+    +1 bucket and negate flags cross the bucket-exchange reduction)."""
+    import fourier_tpu.ops.pallas_curve as pc
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.parallel.msm_fused_sharded import msm_fused_bgmw_sharded
+
+    monkeypatch.setenv("FOURIER_PALLAS", "1")
+    monkeypatch.setenv("FOURIER_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(pc, "TILE", 128)
+    import unittest.mock
+
+    mesh = make_mesh(2, axis="chips")
+    n, c = 8, 11  # signed: W = ceil(257/11) = 24, divisible by 2
+    assert mf.signed_window_count(c) == -(-mf.SCALAR_BITS // c)
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, 16))
+    table = msm_mod.bgmw_expand(points, c)
+    packed = mf.pack_points(table)
+    with unittest.mock.patch.object(mf, "BTILE", 128):
+        out = msm_fused_bgmw_sharded(packed, table.inf, sc, c, mesh,
+                                     axis="chips")
+        got = cv.jac_to_int_points(
+            cv.G1Jac(out.x[..., None], out.y[..., None], out.z[..., None])
+        )[0]
+    assert got == g1_msm(pts, scalars)
+
+
 @pytest.mark.parametrize("ndev", [2, 4])
 def test_distributed_prove(ndev, rng):
     """Full prove round over a mesh == single-device backend results, and

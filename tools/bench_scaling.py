@@ -172,12 +172,19 @@ def main():
         run = lambda: chip_program(pk, inf_d, dg, D, c, ng)
         out = run()
         sync(out.x)  # warm/compile
+        # One host readback on the tunneled chip costs ~25 ms of pure
+        # latency (tools/PROFILE_MSM.log round-5 note) — at D=8 the
+        # per-chip program is ~100 ms, so a per-iteration sync would
+        # inflate it ~25%.  Dispatch K back-to-back (async queue), sync
+        # once, divide.
+        K = 3
         times = []
         for _ in range(ITERS):
             t = time.perf_counter()
-            out = run()
+            for _k in range(K):
+                out = run()
             sync(out.x)
-            times.append(time.perf_counter() - t)
+            times.append((time.perf_counter() - t) / K)
         med = float(np.median(times))
         results[D] = med
         log(f"D={D}: per-chip slice W/D={wd} -> {med:.3f}s "
