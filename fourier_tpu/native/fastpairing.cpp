@@ -27,6 +27,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -1083,14 +1085,24 @@ int fw_pairings_check(const uint8_t* g1s, const uint8_t* g2s, int64_t n,
                       const uint8_t* hard_be, int64_t hard_len) {
     (void)p2_be; (void)p2_len; (void)hard_be; (void)hard_len;
     init_constants();
-    Fp12 f = fp12_one();
-    for (int64_t k = 0; k < n; k++) {
+    init_twist_constants();
+    init_frobenius();  // pre-warm before spawning threads
+    // The n Miller loops are independent; run them concurrently (the
+    // serve-path check is n=2 or 3 — reference src/engine/piano.rs
+    // :358-388,422-464 — so this roughly halves the check latency).
+    std::vector<Fp12> ms((size_t)n);
+    std::vector<int> status((size_t)n, 1);  // 1 ok, 0 degenerate
+    std::vector<bool> skip((size_t)n, false);
+    auto work = [&](int64_t k) {
         const uint8_t* g1 = g1s + 96 * k;
         const uint8_t* g2 = g2s + 192 * k;
         bool g1_inf = true, g2_inf = true;
         for (int i = 0; i < 96 && g1_inf; i++) g1_inf = g1[i] == 0;
         for (int i = 0; i < 192 && g2_inf; i++) g2_inf = g2[i] == 0;
-        if (g1_inf || g2_inf) continue;  // e(O, Q) = e(P, O) = 1
+        if (g1_inf || g2_inf) {  // e(O, Q) = e(P, O) = 1
+            skip[(size_t)k] = true;
+            return;
+        }
         Fp px, py;
         fp_from_be(px, g1);
         fp_from_be(py, g1 + 48);
@@ -1099,9 +1111,21 @@ int fw_pairings_check(const uint8_t* g1s, const uint8_t* g2s, int64_t n,
         fp_from_be(qx.c1, g2 + 48);
         fp_from_be(qy.c0, g2 + 96);
         fp_from_be(qy.c1, g2 + 144);
-        Fp12 m;
-        if (!miller_loop_fast(m, px, py, qx, qy)) return -1;
-        fp12_mul(f, f, m);
+        if (!miller_loop_fast(ms[(size_t)k], px, py, qx, qy))
+            status[(size_t)k] = 0;
+    };
+    if (n > 1) {
+        std::vector<std::thread> th;
+        th.reserve((size_t)n);
+        for (int64_t k = 0; k < n; k++) th.emplace_back(work, k);
+        for (auto& t : th) t.join();
+    } else {
+        for (int64_t k = 0; k < n; k++) work(k);
+    }
+    Fp12 f = fp12_one();
+    for (int64_t k = 0; k < n; k++) {
+        if (!status[(size_t)k]) return -1;
+        if (!skip[(size_t)k]) fp12_mul(f, f, ms[(size_t)k]);
     }
     final_exp_fast(f, f);
     return fp12_is_one(f) ? 1 : 0;
