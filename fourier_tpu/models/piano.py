@@ -209,12 +209,20 @@ class PianoPrecompute:
 
     @staticmethod
     def window_for(n: int) -> int:
-        """Table window: balance accumulation adds against the single
-        bucket reduction (ops.msm_fused.bgmw_auto_window); tiny rows keep
-        a small window so 2^c cannot dwarf the row."""
+        """Table window: balance accumulation adds against the bucket
+        reduction (ops.msm_fused.bgmw_auto_window); tiny rows keep a
+        small window so 2^c cannot dwarf the row.  When the MSM will be
+        sharded over local chips, the window follows the per-topology
+        cost model (bgmw_auto_window's shards arg — tables are built
+        for the serving topology, like the reference builds its
+        precompute for its CPU's layout)."""
         from ..ops import msm_fused as mf
 
-        return mf.bgmw_auto_window(n) if n >= (1 << 12) else 8
+        if n < (1 << 12):
+            return 8
+        mesh = _sharding_mesh()
+        shards = mesh.shape["chips"] if mesh is not None else 1
+        return mf.bgmw_auto_window(n, shards=shards)
 
     @staticmethod
     def generate(settings: PianoSettings, c: int | None = None) -> "PianoPrecompute":
@@ -333,7 +341,7 @@ def _msm_dispatch(points: G1Aff, scalars, table: G1Aff | None, c: int,
             from ..ops import msm_fused as mf
 
             pk = packed if packed is not None else mf.pack_points(table)
-            if mesh is not None and (wn // n) % mesh.shape["chips"] == 0:
+            if mesh is not None and wn % mesh.shape["chips"] == 0:
                 from ..parallel.msm_fused_sharded import msm_fused_bgmw_sharded
 
                 return msm_fused_bgmw_sharded(pk, table.inf, scalars, c, mesh)

@@ -428,6 +428,44 @@ def tree_reduce_last(p: G1Jac, to: int = 1) -> G1Jac:
     return p
 
 
+def tree_reduce_axis(p: G1Jac, axis: int) -> G1Jac:
+    """Halving-tree reduction over an arbitrary (usually non-minor) axis
+    by slicing, with the fused add: no transposed copy.  The moveaxis
+    form of this reduction measured 9.5 ms for a log2(8)-round combine
+    whose adds are worth ~2 ms — the [.., K, big] -> [.., big, K] minor
+    transpose dominated.  The axis is REMOVED from the result shape."""
+    if axis < 0:
+        axis += p.x.ndim
+    n = p.x.shape[axis]
+    pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    if pow2 != n:
+        pad_shape = list(p.x.shape)
+        pad_shape[axis] = pow2 - n
+        z = jnp.zeros(pad_shape, jnp.uint32)
+        p = G1Jac(
+            jnp.concatenate([p.x, z], axis=axis),
+            jnp.concatenate([p.y, z], axis=axis),
+            jnp.concatenate([p.z, z], axis=axis),
+        )
+        n = pow2
+
+    def sl(a, lo, hi):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    while n > 1:
+        half = n // 2
+        p = add_fast(
+            G1Jac(sl(p.x, 0, half), sl(p.y, 0, half), sl(p.z, 0, half)),
+            G1Jac(sl(p.x, half, n), sl(p.y, half, n), sl(p.z, half, n)),
+        )
+        n = half
+    return G1Jac(
+        jnp.squeeze(p.x, axis=axis),
+        jnp.squeeze(p.y, axis=axis),
+        jnp.squeeze(p.z, axis=axis),
+    )
+
+
 def tree_sum_fast(p: G1Jac, stop: int = 1) -> G1Jac:
     """Reduce the last axis of a [..., n] point batch to [..., stop].
 

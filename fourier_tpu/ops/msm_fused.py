@@ -408,12 +408,8 @@ def _split_heavy_slots(counts, starts, cap: int, spare: int):
 
 
 def _reduce_axis(p: G1Jac, axis: int) -> G1Jac:
-    """Sum a Jacobian batch over one axis (moved minor, tree-reduced)."""
-    def mv(a):
-        return jnp.moveaxis(a, axis, -1)
-
-    out = cv.tree_reduce_last(G1Jac(mv(p.x), mv(p.y), mv(p.z)), to=1)
-    return G1Jac(out.x[..., 0], out.y[..., 0], out.z[..., 0])
+    """Sum a Jacobian batch over one axis (slicing tree — no transpose)."""
+    return cv.tree_reduce_axis(p, axis)
 
 
 def _pad_lanes(p: G1Jac, width: int) -> G1Jac:
@@ -500,14 +496,25 @@ def _weighted_partial_sums(buckets: G1Jac, weights, c: int) -> G1Jac:
     )
 
 
-def _split_cap(total: int, n_buckets: int) -> int:
-    """Per-slot load cap: 16x the mean keeps random inputs split-free
-    (typical max ~ mean + 5*sqrt(mean)) while bounding the spare region
-    at n_buckets/16 slots — the spare slots pay a dynamic-weight
-    reduction (c masked adds each), so fewer is faster; adversarial
-    concentration still fans out and stays ~ceil(total/capacity) rounds
-    (simulate_rounds is the tested guard)."""
-    return 16 * max(1, -(-total // n_buckets))
+def _split_cap(total: int, n_buckets: int, factor: int = 16) -> int:
+    """Per-slot load cap: `factor` x the mean keeps random inputs
+    split-free (typical max ~ mean + 5*sqrt(mean)) while bounding the
+    spare region at ~n_buckets/factor slots.
+
+    factor=16 for the tableless per-window path: its TOP window has few
+    effective bits and structurally concentrates ~2k points per bucket,
+    which must keep splitting finely (a 64x cap measured 1.32 -> 2.05 s
+    at 2^19/c=13: the unsplit heavy slots forced a second slab round
+    plus tile padding).  factor=64 for the shared-bucket BGMW path,
+    whose digit distribution is flat: nothing splits for honest inputs
+    either way, and the 4x-smaller spare region shrinks the
+    dynamic-weight reduction that is FIXED per chip in the sharded MSM
+    (~10 ms of the D=8 per-chip budget at 16x —
+    tools/PROFILE_MSM.log `msm_fixed_cost_probe_D8`).  Adversarial
+    concentration still fans out over the spares and stays
+    ~ceil(total/capacity) rounds (simulate_rounds is the tested
+    guard)."""
+    return factor * max(1, -(-total // n_buckets))
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -533,24 +540,18 @@ def msm_fused_packed(packed, inf, scalars, c: int) -> G1Jac:
     # digit-0 class (weight-0 slots drop out of the reduction).
     digits = jnp.where(inf[None], 0, digits)
 
-    # Digit sort carrying the packed row meta (quad index / member /
-    # flags) as the sort value — one sort, zero argsort gathers.
+    # Per-window digit sort carrying the packed row meta (quad index /
+    # member / flags), with bucket counts/starts via the sentinel trick
+    # (_sort_with_edges) — each window's sorted block is n + B + 1 long.
     meta_row = _row_meta(n, inf.astype(jnp.uint32))             # [n]
-    sd, meta_sorted = jax.lax.sort_key_val(
-        digits, jnp.broadcast_to(meta_row[None], digits.shape), -1)
-
-    # Per-window bucket starts in sorted space; counts by differencing.
-    edges = jax.vmap(
-        lambda row: jnp.searchsorted(
-            row, jnp.arange(B + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
-    )(sd)                                                        # [W, B+1]
-    cnt = edges[:, 1:] - edges[:, :-1]                           # [W, B]
+    sd, meta_sorted, cnt, starts = _sort_with_edges(
+        digits, meta_row[None], B)
     cnt = cnt.at[:, 0].set(0)                                    # drop digit 0
+    block = sd.shape[-1]     # n, or n + B + 1 when sentinel-padded
     starts = (
-        edges[:, :-1]
-        + (jnp.arange(n_windows, dtype=jnp.int32) * n)[:, None]
-    )                                                            # into order_flat
+        starts
+        + (jnp.arange(n_windows, dtype=jnp.int32) * block)[:, None]
+    )                                                            # into flat order
 
     counts_s, starts_s, weights = _split_heavy_slots(cnt, starts, cap, spare)
 
@@ -630,8 +631,20 @@ def bgmw_digits_for(scalars, c: int, n_windows: int):
     return msm_mod._all_window_digits(scalars, c, n_windows).reshape(-1), None
 
 
-def bgmw_auto_window(n: int) -> int:
+def bgmw_auto_window(n: int, shards: int = 1) -> int:
     """Window size for the shared-bucket (BGMW-table) MSM.
+
+    shards > 1: the table will serve the mesh-sharded MSM
+    (parallel.msm_fused_sharded), whose per-chip cost trades the row
+    count (W*n/D) against per-chip Theta(B) bucket bookkeeping that the
+    bucket-exchange reduction does NOT shard away (digit-sort edges,
+    slot packing, the spare region).  Measured at 2^19 on v5e
+    (tools/SCALING.log round 5): D=4 is fastest at c=13 (239 ms/chip vs
+    267 at c=16 — 16x fewer buckets beats +25% rows), D=2 and D=8 stay
+    at c=16 (at D=8 the row share already dominates; at D=2 the bucket
+    costs amortize).  The analytic model below does not capture the
+    bookkeeping constants, so the shards=4 case uses the measured
+    point; other shard counts fall through to the single-chip model.
 
     Cost model fit to the 2^19 on-chip sweep (tools/sweep_bgmw_c.py,
     PROFILE_MSM.log): each (window, point) row costs one slab gather +
@@ -645,6 +658,8 @@ def bgmw_auto_window(n: int) -> int:
     bucket (magnitude 1), whose split slots exceed the slab's one-round
     capacity and force whole extra gather+kernel rounds (measured 2.2x
     at c=17/2^19)."""
+    if shards == 4 and n >= (1 << 16):
+        return 13  # measured crossover at 2^19; see docstring
     best, best_cost = 8, None
     for c in range(8, 23):
         w = signed_window_count(c)
@@ -681,6 +696,84 @@ def msm_fused_bgmw(packed_table, table_inf, scalars, c: int) -> G1Jac:
                             neg_flat)
 
 
+# Above this many rows per sort block, the sentinel double-sort loses to
+# binary search: the second sort scales with WN while searchsorted is
+# Theta(B log WN) ~ 30 ms flat, and the crossover measured between 4M
+# and 8M rows (tools/PROFILE_MSM.log `edges_probe`: 1M rows 7 vs 39 ms
+# in dsort's favor; 8.4M rows a wash in isolation and a small in-program
+# LOSS — bench regressed 751 -> 765 ms before this gate).  Mesh shards
+# (the case the sentinel path exists for) are always below it.
+DSORT_MAX_ROWS = 6 << 20
+
+
+def _sort_with_edges(digits_flat, meta_row, B: int):
+    """Digit sort + per-bucket (counts, starts).
+
+    Two strategies with one contract — returns (sd, meta_sorted,
+    counts[..., B], starts[..., B]) with starts indexing the returned
+    (possibly sentinel-padded) sorted arrays:
+
+    - large blocks: plain sort + `searchsorted(sd, arange(B+1))`;
+    - blocks <= DSORT_MAX_ROWS: SENTINEL keys — B+1
+    sentinel entries (key b, meta bit31|b) ride the main sort; a second
+    sort extracts their positions p_b, from which
+
+        counts[b] = p_b - p_{b-1} - 1        (p_{-1} := -1)
+        starts[b] = p_{b-1} + 1              (into the padded array)
+
+    since the stable sort places bucket b's real entries directly before
+    sentinel b.  Replaces `searchsorted(sd, arange(B+1))` — B+1 binary
+    searches = 17 rounds of element gathers, measured 28-34 ms at EVERY
+    shard size (tools/PROFILE_MSM.log `edges_probe`); the double sort is
+    7 ms at a 1M-row shard and ~52 ms total (vs 64) at the full 8.4M.
+
+    Returns (sd, meta_sorted, counts[..., B], starts[..., B]) where
+    sd/meta_sorted are the sentinel-PADDED sorted arrays ([..., n+B+1]);
+    starts index into the last axis of them, and sentinel positions are
+    never inside a (start, count) run.  Works batched over leading axes
+    (the tableless per-window case).  Sentinel metas have bit 31 set;
+    real metas must stay below 2^31 (true: (row >> 2) << 4 < 2^31 for
+    any row count < 2^27)."""
+    if digits_flat.shape[-1] > DSORT_MAX_ROWS:
+        sd, meta_sorted = jax.lax.sort_key_val(
+            digits_flat,
+            jnp.broadcast_to(meta_row, digits_flat.shape))
+        qs = jnp.arange(B + 1, dtype=jnp.int32)
+
+        def edges_of(row):
+            return jnp.searchsorted(row, qs, side="left").astype(jnp.int32)
+
+        for _ in digits_flat.shape[:-1]:
+            edges_of = jax.vmap(edges_of)
+        edges = edges_of(sd)
+        counts = edges[..., 1:] - edges[..., :-1]
+        starts = edges[..., :-1]
+        return sd, meta_sorted, counts, starts
+
+    S = B + 1
+    lead = digits_flat.shape[:-1]
+    sent_keys = jnp.broadcast_to(
+        jnp.arange(S, dtype=digits_flat.dtype), lead + (S,))
+    sent_meta = jnp.broadcast_to(
+        jnp.uint32(1 << 31) | jnp.arange(S, dtype=jnp.uint32), lead + (S,))
+    keys = jnp.concatenate([digits_flat, sent_keys], axis=-1)
+    metas = jnp.concatenate(
+        [jnp.broadcast_to(meta_row, digits_flat.shape), sent_meta], axis=-1)
+    sd, meta_sorted = jax.lax.sort_key_val(keys, metas)
+    is_sent = meta_sorted >> 31
+    key2 = jnp.where(is_sent == 1,
+                     (meta_sorted & 0x7FFFFFFF).astype(jnp.int32),
+                     jnp.int32(S + 1))
+    pos = jnp.broadcast_to(
+        jnp.arange(keys.shape[-1], dtype=jnp.int32), keys.shape)
+    _, p = jax.lax.sort_key_val(key2, pos)
+    p_ext = jnp.concatenate(
+        [jnp.full(lead + (1,), -1, jnp.int32), p[..., :S]], axis=-1)
+    counts = (p_ext[..., 1:] - p_ext[..., :-1] - 1)[..., :B]
+    starts = (p_ext[..., :-1] + 1)[..., :B]
+    return sd, meta_sorted, counts, starts
+
+
 def _unpermute_rows(acc: G1Jac, canon) -> G1Jac:
     """Gather accumulator slots back to canonical order as ONE fat-row
     gather: xyz stacked to [BT, 3L] 288-byte rows.  XLA's gather is
@@ -712,7 +805,7 @@ def bgmw_buckets_from_digits(packed_table, table_inf, digits_flat, c: int,
     WN = packed_table.shape[0]
     Bpow = 1 << (c - 1) if signed else 1 << c     # power-of-2 main region
     B = Bpow + 1 if signed else Bpow              # magnitudes reach 2^(c-1)
-    cap = _split_cap(WN, Bpow)
+    cap = _split_cap(WN, Bpow, factor=64)
     spare = max(BTILE // 8, -(-WN // cap))
     Bp = B + spare
     n_tiles = -(-Bp // BTILE)
@@ -723,14 +816,9 @@ def bgmw_buckets_from_digits(packed_table, table_inf, digits_flat, c: int,
     flags_row = table_inf.astype(jnp.uint32)
     if signed:
         flags_row = flags_row | (neg_flat.astype(jnp.uint32) << 1)
-    sd, meta_sorted = jax.lax.sort_key_val(
-        digits_flat, _row_meta(WN, flags_row))
-    edges = jnp.searchsorted(
-        sd, jnp.arange(B + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    counts = edges[1:] - edges[:-1]
+    sd, meta_sorted, counts, starts = _sort_with_edges(
+        digits_flat, _row_meta(WN, flags_row), B)
     counts = counts.at[0].set(0)                                 # drop digit 0
-    starts = edges[:-1]
 
     counts_s, starts_s, weights = _split_heavy_slots(counts, starts,
                                                      cap, spare)

@@ -122,16 +122,11 @@ def sharded_reduce_parts(buckets: G1Jac, weights, c: int, signed: bool,
             f"hold whole column groups of {H}")
     Gl = Bl // H
 
-    # 1. exchange + combine the main region
+    # 1. exchange + combine the main region (axis tree: no transpose)
     main = G1Jac(buckets.x[..., :Bpow], buckets.y[..., :Bpow],
                  buckets.z[..., :Bpow])
     recv = _exchange_main(main, axis, D)                 # [L, D, Bl]
-    comb = cv.tree_reduce_last(
-        G1Jac(jnp.moveaxis(recv.x, -2, -1), jnp.moveaxis(recv.y, -2, -1),
-              jnp.moveaxis(recv.z, -2, -1)),
-        to=1,
-    )
-    local = G1Jac(comb.x[..., 0], comb.y[..., 0], comb.z[..., 0])  # [L, Bl]
+    local = cv.tree_reduce_axis(recv, -2)                # [L, Bl]
 
     # 2. factorized reduction of the local slice (global b = g*H + h)
     grid = G1Jac(local.x.reshape(FP_LIMBS, Gl, H),
@@ -197,19 +192,22 @@ def msm_fused_bgmw_sharded(packed_table, table_inf, scalars, c: int,
     D = mesh.shape[axis]
     if D == 1:
         return mf.msm_fused_bgmw(packed_table, table_inf, scalars, c)
-    if W % D:
-        raise ValueError(f"window count {W} not divisible by mesh size {D}")
+    # Shards take contiguous ROW slices of the flat (window, point) axis
+    # — window weights are baked into the table entries, so any slice is
+    # a valid shared-bucket MSM.  No whole-window alignment needed: the
+    # window count is free to be chosen for the per-chip cost model
+    # (fewer buckets at more windows — bgmw_auto_window's shards arg).
+    if WN % D:
+        raise ValueError(f"table rows {WN} not divisible by mesh size {D}")
 
     digits_flat, neg_flat = mf.bgmw_digits_for(scalars, c, W)  # [W*n]
     signed = neg_flat is not None
-    digits = digits_flat.reshape(W, n)
-    negs = neg_flat.reshape(W, n) if signed else None
 
-    in_specs = [P(axis, None), P(axis), P(axis, None)]
-    args = [packed_table, table_inf, digits]
-    if negs is not None:
-        in_specs.append(P(axis, None))
-        args.append(negs)
+    in_specs = [P(axis, None), P(axis), P(axis)]
+    args = [packed_table, table_inf, digits_flat]
+    if signed:
+        in_specs.append(P(axis))
+        args.append(neg_flat)
 
     @partial(
         shard_map,
@@ -219,9 +217,8 @@ def msm_fused_bgmw_sharded(packed_table, table_inf, scalars, c: int,
         check_vma=False,
     )
     def _shard(pk, inf, dg, *rest):
-        ng = rest[0].reshape(-1) if rest else None
-        buckets, weights = mf.bgmw_buckets_from_digits(
-            pk, inf, dg.reshape(-1), c, ng)
+        ng = rest[0] if rest else None
+        buckets, weights = mf.bgmw_buckets_from_digits(pk, inf, dg, c, ng)
         return _sharded_bgmw_reduce(buckets, weights, c, signed, axis)
 
     ox, oy, oz = _shard(*args)

@@ -164,6 +164,39 @@ def test_msm_fused_bgmw_sharded_signed_interpret(rng, monkeypatch):
     assert got == g1_msm(pts, scalars)
 
 
+def test_msm_fused_bgmw_sharded_midwindow_interpret(rng, monkeypatch):
+    """Row-sliced sharding with W NOT divisible by D (c=9 -> W=29, D=2):
+    shard boundaries fall mid-window, exercising that any contiguous
+    row slice of the expanded table is a valid shared-bucket MSM."""
+    import fourier_tpu.ops.pallas_curve as pc
+    from fourier_tpu.ops import msm as msm_mod
+    from fourier_tpu.ops import msm_fused as mf
+    from fourier_tpu.parallel.msm_fused_sharded import msm_fused_bgmw_sharded
+
+    monkeypatch.setenv("FOURIER_PALLAS", "1")
+    monkeypatch.setenv("FOURIER_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(pc, "TILE", 128)
+    import unittest.mock
+
+    mesh = make_mesh(2, axis="chips")
+    n, c = 16, 9  # signed: W = ceil(257/9) = 29, NOT divisible by 2
+    assert mf.signed_window_count(c) == -(-mf.SCALAR_BITS // c)
+    assert mf.signed_window_count(c) % 2 == 1
+    pts = [g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    points = cv.affine_from_ints(pts)
+    sc = jnp.asarray(ints_to_vec(scalars, 16))
+    table = msm_mod.bgmw_expand(points, c)
+    packed = mf.pack_points(table)
+    with unittest.mock.patch.object(mf, "BTILE", 128):
+        out = msm_fused_bgmw_sharded(packed, table.inf, sc, c, mesh,
+                                     axis="chips")
+        got = cv.jac_to_int_points(
+            cv.G1Jac(out.x[..., None], out.y[..., None], out.z[..., None])
+        )[0]
+    assert got == g1_msm(pts, scalars)
+
+
 @pytest.mark.parametrize("ndev", [2, 4])
 def test_distributed_prove(ndev, rng):
     """Full prove round over a mesh == single-device backend results, and

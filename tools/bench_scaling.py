@@ -69,8 +69,10 @@ def main():
 
     log(f"devices={jax.devices()}  table scale=2^{SCALE}")
 
-    c = mf.bgmw_auto_window(N)
-    W = -(-mf.SCALAR_BITS // c)
+    c = int(os.environ.get("SC_C", "0")) or mf.bgmw_auto_window(N)
+    W = (mf.signed_window_count(c)
+         if mf.signed_window_count(c) == -(-mf.SCALAR_BITS // c)
+         else -(-mf.SCALAR_BITS // c))
     path = os.path.join(CACHE, f"bgmw_{SCALE}_{c}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
@@ -117,11 +119,7 @@ def main():
             buckets.y[..., :Bpow].reshape(FP_LIMBS, D, Bl),
             buckets.z[..., :Bpow].reshape(FP_LIMBS, D, Bl),
         )
-        comb = cv.tree_reduce_last(
-            G1Jac(jnp.moveaxis(recv.x, -2, -1),
-                  jnp.moveaxis(recv.y, -2, -1),
-                  jnp.moveaxis(recv.z, -2, -1)), to=1)
-        local = G1Jac(comb.x[..., 0], comb.y[..., 0], comb.z[..., 0])
+        local = cv.tree_reduce_axis(recv, -2)
         # 2. sharded factorized reduction on the local slice
         grid = G1Jac(local.x.reshape(FP_LIMBS, Gl, H),
                      local.y.reshape(FP_LIMBS, Gl, H),
@@ -161,14 +159,11 @@ def main():
 
     results = {}
     for D in (1, 2, 4, 8):
-        if W % D:
-            log(f"D={D}: skipped (W={W} not divisible)")
-            continue
-        wd = W // D
-        pk = packed[: wd * N]
-        inf_d = tab_inf[: wd * N]
-        dg = digits[:wd].reshape(-1)
-        ng = negs[:wd].reshape(-1) if signed else None
+        rows = WN // D          # contiguous row slice: window alignment
+        pk = packed[:rows]      # is NOT required (weights are baked in)
+        inf_d = tab_inf[:rows]
+        dg = digits.reshape(-1)[:rows]
+        ng = negs.reshape(-1)[:rows] if signed else None
         run = lambda: chip_program(pk, inf_d, dg, D, c, ng)
         out = run()
         sync(out.x)  # warm/compile
@@ -187,7 +182,7 @@ def main():
             times.append((time.perf_counter() - t) / K)
         med = float(np.median(times))
         results[D] = med
-        log(f"D={D}: per-chip slice W/D={wd} -> {med:.3f}s "
+        log(f"D={D}: per-chip slice rows={rows} -> {med:.3f}s "
             f"(min {min(times):.3f} max {max(times):.3f})")
 
     # communication bound (excluded from the per-chip timings above):

@@ -72,11 +72,7 @@ def main():
             buckets.y[..., :Bpow].reshape(FP_LIMBS, D, Bl),
             buckets.z[..., :Bpow].reshape(FP_LIMBS, D, Bl),
         )
-        comb = cv.tree_reduce_last(
-            G1Jac(jnp.moveaxis(recv.x, -2, -1),
-                  jnp.moveaxis(recv.y, -2, -1),
-                  jnp.moveaxis(recv.z, -2, -1)), to=1)
-        return G1Jac(comb.x[..., 0], comb.y[..., 0], comb.z[..., 0])
+        return cv.tree_reduce_axis(recv, -2)
 
     def reduction(buckets, weights, local, D):
         Bl = Bpow // D

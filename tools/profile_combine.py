@@ -42,7 +42,7 @@ def main():
     c = 16
     B = 1 << c
     WN = 16 << 19
-    cap = mf._split_cap(WN, B)
+    cap = mf._split_cap(WN, B, factor=64)
     spare = max(mf.BTILE // 8, -(-WN // cap))
     Bp = B + spare
     BT = -(-Bp // mf.BTILE) * mf.BTILE

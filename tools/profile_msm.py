@@ -65,7 +65,7 @@ def main():
     scal = jnp.asarray(sc)
 
     B = 1 << c
-    cap = mf._split_cap(WN, B)
+    cap = mf._split_cap(WN, B, factor=64)
     spare = max(mf.BTILE // 8, -(-WN // cap))
     Bp = B + spare
     n_tiles = -(-Bp // mf.BTILE)
